@@ -1,0 +1,148 @@
+"""Batch pipelines — fixed-shape columnar batches for jit.
+
+Parity target: the reference DataLoader hierarchy (recbole/data/dataloader/*),
+re-designed for XLA: every batch is a dict of SAME-SHAPE numpy arrays per epoch
+(partial batches are padded and masked via ``_weight``), negative sampling and
+candidate expansion happen ON DEVICE inside the jitted step (see
+sampler/sampler.py), and full-sort evaluation batches are per-user padded
+positive sets instead of the reference's swap-index machinery
+(general_dataloader.py:300-364).
+"""
+
+import numpy as np
+
+from ..utils.enums import InputType
+
+
+class TrainLoader:
+    """Iterates the training split in fixed-size shuffled batches.
+
+    Yields dicts of numpy arrays: all loaded inter fields + ``_weight``
+    (1.0 real row / 0.0 padding). Negatives are NOT materialized here — the
+    trainer samples them on device (the reference's per-batch Python rejection
+    loop, sampler.py:144-153, is the CPU hot spot we remove).
+    """
+
+    def __init__(self, config, dataset, batch_size=None, shuffle=True):
+        self.config = config
+        self.dataset = dataset
+        self.batch_size = batch_size or config["train_batch_size"]
+        self.shuffle = shuffle
+        self.fields = {f: np.asarray(v) for f, v in dataset.inter_feat.items()
+                       if not isinstance(v.dtype, object) or v.dtype != object}
+        self.n = len(dataset)
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.random.permutation(self.n) if self.shuffle else np.arange(self.n)
+        B = self.batch_size
+        for start in range(0, self.n, B):
+            idx = order[start:start + B]
+            pad = B - len(idx)
+            batch = {}
+            for f, col in self.fields.items():
+                vals = col[idx]
+                if pad:
+                    vals = np.concatenate([vals, np.zeros(pad, dtype=col.dtype)])
+                batch[f] = vals
+            w = np.ones(B, dtype=np.float32)
+            if pad:
+                w[-pad:] = 0.0
+            batch["_weight"] = w
+            yield batch
+
+
+class FullSortEvalLoader:
+    """Full-sort ranking evaluation batches.
+
+    Groups the eval split by user; each batch is:
+        user_id:  (B,)  int32
+        pos_items:(B, P) int32, padded with 0
+        pos_len:  (B,)  int32
+        _mask:    (B,)  float32 — 0 for padding users
+
+    History masking (items from EARLIER phases must score -inf,
+    trainer.py:343-345 in the reference) is applied on device from the
+    phase history matrix — not here.
+    """
+
+    def __init__(self, config, dataset, n_items, batch_size=None):
+        self.config = config
+        uid_field = config["USER_ID_FIELD"]
+        iid_field = config["ITEM_ID_FIELD"]
+        uids = np.asarray(dataset.inter_feat[uid_field])
+        iids = np.asarray(dataset.inter_feat[iid_field])
+        # positives-only eval: when an explicit label column exists, rank only
+        # label==1 rows (labeled-dataset workflows, fork §2.9)
+        label_field = config["LABEL_FIELD"]
+        if label_field in dataset.inter_feat:
+            pos_mask = np.asarray(dataset.inter_feat[label_field]) > 0.5
+            uids, iids = uids[pos_mask], iids[pos_mask]
+
+        order = np.argsort(uids, kind="stable")
+        uids, iids = uids[order], iids[order]
+        users, starts = np.unique(uids, return_index=True)
+        counts = np.diff(np.append(starts, len(uids)))
+        P = int(counts.max()) if len(counts) else 1
+        pos = np.zeros((len(users), P), dtype=np.int32)
+        for r, (s, c) in enumerate(zip(starts, counts)):
+            pos[r, :c] = iids[s:s + c]
+        self.users = users.astype(np.int32)
+        self.pos_items = pos
+        self.pos_len = counts.astype(np.int32)
+        self.max_pos = P
+
+        if batch_size is None:
+            # scale user-batch so the (B, n_items) score matrix stays ~64MB
+            budget = (config["eval_batch_size"] or 4096) * 4096
+            batch_size = int(np.clip(budget // max(n_items, 1), 8, 4096))
+        self.batch_size = batch_size
+
+    def __len__(self):
+        return (len(self.users) + self.batch_size - 1) // self.batch_size
+
+    @property
+    def n_eval_users(self):
+        return len(self.users)
+
+    def __iter__(self):
+        B = self.batch_size
+        for start in range(0, len(self.users), B):
+            sl = slice(start, start + B)
+            u = self.users[sl]
+            p = self.pos_items[sl]
+            l = self.pos_len[sl]
+            pad = B - len(u)
+            mask = np.ones(B, dtype=np.float32)
+            if pad:
+                u = np.concatenate([u, np.zeros(pad, np.int32)])
+                p = np.concatenate([p, np.zeros((pad, p.shape[1]), np.int32)])
+                l = np.concatenate([l, np.zeros(pad, np.int32)])
+                mask[-pad:] = 0.0
+            yield {"user_id": u, "pos_items": p, "pos_len": l, "_mask": mask}
+
+
+class SampledEvalLoader(FullSortEvalLoader):
+    """Sampled ranking evaluation (uni<k>/pop<k> presets).
+
+    Reference semantics (general_dataloader.py:132-265): each user's candidate
+    list = their P positives followed by P*k sampled negatives (k per positive),
+    negatives excluding every item the user interacted with in any phase up to
+    this one. Negatives are drawn on device per batch.
+    """
+
+    def __init__(self, config, dataset, n_items, neg_sample_args, batch_size=None):
+        self.neg_k = int(neg_sample_args["by"])
+        self.distribution = neg_sample_args.get("distribution", "uniform")
+        super().__init__(config, dataset, n_items, batch_size)
+        if batch_size is None:
+            # candidate width = P*(1+k); keep batch * width bounded
+            width = max(self.max_pos * (1 + self.neg_k), 1)
+            budget = (self.config["eval_batch_size"] or 4096) * 4096
+            self.batch_size = int(np.clip(budget // width, 4, 4096))
+
+    @property
+    def num_candidates(self):
+        return self.max_pos * (1 + self.neg_k)

@@ -1,0 +1,75 @@
+"""Loss functions.
+
+Parity target: recbole/model/loss.py — BPRLoss, RegLoss, EmbLoss, EmbMarginLoss,
+plus the fork's soft-cross-entropy family (loss.py:106-166). All take an
+optional per-row ``weight`` so fixed-shape padded batches are exact: padding
+rows carry weight 0 and means are taken over the weight sum.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _wmean(values, weight):
+    if weight is None:
+        return jnp.mean(values)
+    w = weight.astype(values.dtype)
+    return jnp.sum(values * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def bpr_loss(pos_score, neg_score, weight=None, gamma=1e-10):
+    """-log sigmoid(pos - neg)  (parity: BPRLoss, loss.py:23)."""
+    return _wmean(-jnp.log(gamma + jax.nn.sigmoid(pos_score - neg_score)), weight)
+
+
+def bce_loss(logits, labels, weight=None):
+    """Numerically-stable binary cross entropy on logits."""
+    loss = jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return _wmean(loss, weight)
+
+
+def ce_loss(logits, targets, weight=None):
+    """Cross entropy over the item axis; targets are int ids."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    return _wmean(nll, weight)
+
+
+def soft_ce_loss(logits, target_dist, weight=None):
+    """mean over rows of sum(-target * log_softmax(logits))
+    (parity: fork SoftCrossEntropyLoss, loss.py:106)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per_row = -jnp.sum(target_dist * logp, axis=-1)
+    return _wmean(per_row, weight)
+
+
+def mse_loss(preds, labels, weight=None):
+    return _wmean(jnp.square(preds - labels), weight)
+
+
+def emb_loss(*embeddings, norm=2):
+    """L2 regularization over looked-up embedding rows, normalized by batch
+    (parity: EmbLoss, loss.py:70)."""
+    total = 0.0
+    batch = None
+    for e in embeddings:
+        total = total + jnp.sum(jnp.abs(e) ** norm)
+        batch = e.shape[0] if batch is None else batch
+    return (total ** (1.0 / norm)) / jnp.maximum(batch, 1)
+
+
+def reg_loss(params_list, norm=2):
+    """L2 over whole parameter tensors (parity: RegLoss, loss.py:52)."""
+    total = 0.0
+    for p in params_list:
+        total = total + jnp.linalg.norm(p.reshape(-1), ord=norm)
+    return total
+
+
+def emb_margin_loss(*embeddings, margin=1.0):
+    """Penalize rows whose squared norm exceeds 1 (parity: EmbMarginLoss, loss.py:87)."""
+    total = 0.0
+    for e in embeddings:
+        sq = jnp.sum(jnp.square(e), axis=-1, keepdims=True)
+        total = total + jnp.sum(jnp.maximum(sq + margin - 1.0, 0.0))
+    return total

@@ -1,0 +1,421 @@
+"""Trainer: jitted train/eval steps + host-side fit loop.
+
+Parity target: reference Trainer (recbole/trainer/trainer.py:62-452) — optimizer
+factory, epoch loop with periodic validation, patience-based early stopping,
+checkpointing on improvement, NaN-loss detection, tuple losses, gradient
+clipping, full-sort + sampled evaluation.
+
+TPU re-design:
+  * ONE jitted ``train_step(params, opt_state, rng, batch)`` with donated
+    buffers; negative sampling and pointwise/pairwise batch expansion happen
+    inside it (device-side), so the host only streams raw positive rows.
+  * Evaluation is a jitted per-batch reduction: scores -> top-k -> (K,) metric
+    partial sums. Only scalars cross back to the host (the reference ships
+    whole top-k matrices to numpy, evaluators.py:53-76).
+  * Trainer variants (KG alternation, two-stage pretrain, alternating
+    optimizers) are loop policies over the same step machinery, not copies.
+"""
+
+import os
+import pickle
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.enums import InputType, ModelType
+from ..utils.logger import get_logger, get_local_time, set_color
+from ..utils.utils import early_stopping, calculate_valid_score, dict2str, ensure_dir
+from ..evaluator.evaluator import topk_metric_sums, TopKCollector, ValueCollector
+from ..sampler.sampler import sample_negatives
+from ..data.loaders import FullSortEvalLoader, SampledEvalLoader, TrainLoader
+
+NEG_INF = -1e15
+
+
+def build_optimizer(config):
+    """adam/sgd/adagrad/rmsprop + optional decoupled weight decay
+    (parity: _build_optimizer, trainer.py:109-130)."""
+    lr = config["learning_rate"]
+    name = str(config["learner"]).lower()
+    opts = {
+        "adam": lambda: optax.adam(lr),
+        "sparse_adam": lambda: optax.adam(lr),
+        "adamw": lambda: optax.adamw(lr),
+        "sgd": lambda: optax.sgd(lr),
+        "adagrad": lambda: optax.adagrad(lr),
+        "rmsprop": lambda: optax.rmsprop(lr),
+    }
+    if name not in opts:
+        get_logger().warning("Unknown learner %r, falling back to adam", name)
+        name = "adam"
+    tx = opts[name]()
+    chain = []
+    if config["clip_grad_norm"]:
+        args = config["clip_grad_norm"]
+        max_norm = args.get("max_norm", 5.0) if isinstance(args, dict) else float(args)
+        chain.append(optax.clip_by_global_norm(max_norm))
+    if config["weight_decay"]:
+        chain.append(optax.add_decayed_weights(config["weight_decay"]))
+    chain.append(tx)
+    return optax.chain(*chain)
+
+
+class Trainer:
+    def __init__(self, config, model):
+        self.config = config
+        self.model = model
+        self.logger = get_logger()
+        self.optimizer = build_optimizer(config)
+        self.epochs = config["epochs"]
+        self.eval_step = min(config["eval_step"], self.epochs) or 1
+        self.stopping_step = config["stopping_step"]
+        self.valid_metric = config["valid_metric"]
+        self.valid_metric_bigger = config["valid_metric_bigger"]
+        self.checkpoint_dir = config["checkpoint_dir"]
+        self.saved_model_file = os.path.join(
+            self.checkpoint_dir,
+            f"{config['model']}-{get_local_time()}.ckpt")
+        self.best_valid_score = None
+        self.best_valid_result = None
+        self.start_epoch = 0
+        self.params = None
+        self.opt_state = None
+        self.train_loss_dict = {}
+        self._train_step_fn = None
+        self._eval_step_cache = {}
+
+        seed = config["seed"] or 0
+        self.rng = jax.random.key(seed)
+
+    # ------------------------------------------------------------- train step
+
+    def _make_train_step(self, train_data):
+        model = self.model
+        cfg = self.config
+        neg_args = cfg["train_neg_sample_args"]
+        k = int(neg_args.get("by") or 0) if neg_args["strategy"] == "by" else 0
+        rounds = cfg["neg_sampling_resample_rounds"]
+        input_type = model.input_type
+        uid_f = cfg["USER_ID_FIELD"]
+        iid_f = cfg["ITEM_ID_FIELD"]
+        neg_f = cfg["NEG_PREFIX"] + iid_f
+        label_f = cfg["LABEL_FIELD"]
+
+        hist, hlen = train_data.phase_history.device_tables("train")
+        n_items = train_data.n_items
+        pop = None
+        if neg_args.get("distribution") == "popularity":
+            pop = jnp.asarray(train_data.phase_history.pop_items["train"])
+
+        def augment(batch, rng):
+            """Device-side batch shaping (parity: NegSampleByMixin semantics,
+            neg_sample_mixin.py:104-124)."""
+            if k == 0 or input_type is InputType.LISTWISE:
+                return batch
+            negs = sample_negatives(rng, batch[uid_f], hist, hlen, n_items, k,
+                                    rounds=rounds, pop_items=pop)
+            if input_type is InputType.PAIRWISE:
+                if k == 1:
+                    out = dict(batch)
+                    out[neg_f] = negs[:, 0]
+                    return out
+                # each positive row repeated k times, one negative each
+                out = {f: jnp.repeat(v, k, axis=0) for f, v in batch.items()}
+                out[neg_f] = negs.reshape(-1)
+                return out
+            # POINTWISE: originals (label from data or 1) + k negatives (label 0)
+            B = batch[uid_f].shape[0]
+            out = {}
+            for f, v in batch.items():
+                if f == iid_f:
+                    out[f] = jnp.concatenate([v, negs.T.reshape(-1)])
+                elif f == label_f:
+                    out[f] = jnp.concatenate([v, jnp.zeros(B * k, v.dtype)])
+                else:
+                    out[f] = jnp.concatenate([v] + [v] * k, axis=0)
+            if label_f not in batch:
+                w = batch.get("_weight")
+                pos_label = jnp.ones(B, jnp.float32) if w is None else w
+                out[label_f] = jnp.concatenate([pos_label, jnp.zeros(B * k)])
+            return out
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, rng, batch):
+            rng, k_neg, k_loss = jax.random.split(rng, 3)
+            batch = augment(batch, k_neg)
+
+            def loss_fn(p):
+                out = model.calculate_loss(p, batch, k_loss)
+                if isinstance(out, tuple):
+                    return sum(out), jnp.stack(out)
+                return out, jnp.stack([out])
+
+            (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state2 = self.optimizer.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return params2, opt_state2, rng, loss, parts
+
+        return train_step
+
+    def _train_epoch(self, train_data, epoch_idx):
+        total = None
+        nan_seen = False
+        loss_acc = 0.0
+        for batch in train_data:
+            batch = {f: jnp.asarray(v) for f, v in batch.items()}
+            self.params, self.opt_state, self.rng, loss, parts = \
+                self._train_step_fn(self.params, self.opt_state, self.rng, batch)
+            parts = np.asarray(parts)
+            if np.isnan(parts).any():
+                nan_seen = True
+                break
+            total = parts if total is None else total + parts
+            loss_acc += float(np.sum(parts))
+        if nan_seen:
+            raise ValueError(f"Training loss is nan at epoch {epoch_idx}")
+        if total is None:
+            return 0.0
+        return tuple(total.tolist()) if len(total) > 1 else float(total[0])
+
+    # -------------------------------------------------------------------- fit
+
+    def fit(self, train_data, valid_data=None, verbose=True, saved=True,
+            show_progress=False, callback_fn=None):
+        if saved:
+            ensure_dir(self.checkpoint_dir)
+        if self.params is None:
+            self.rng, init_key = jax.random.split(self.rng)
+            self.params = self.model.init_params(init_key)
+            self.opt_state = self.optimizer.init(self.params)
+        self._train_step_fn = self._make_train_step(train_data)
+
+        if saved and self.start_epoch >= self.epochs:
+            self._save_checkpoint(-1)
+
+        best_score, cur_step = self.best_valid_score, 0
+        stop_flag = False
+        for epoch_idx in range(self.start_epoch, self.epochs):
+            t0 = time.time()
+            train_loss = self._train_epoch(train_data, epoch_idx)
+            self.train_loss_dict[epoch_idx] = (
+                sum(train_loss) if isinstance(train_loss, tuple) else train_loss)
+            t1 = time.time()
+            if verbose:
+                loss_str = (", ".join(f"{l:.4f}" for l in train_loss)
+                            if isinstance(train_loss, tuple) else f"{train_loss:.4f}")
+                self.logger.info("epoch %d training [time: %.2fs, train loss: %s]",
+                                 epoch_idx, t1 - t0, loss_str)
+
+            if valid_data is None or (epoch_idx + 1) % self.eval_step != 0:
+                if saved and valid_data is None:
+                    self._save_checkpoint(epoch_idx)
+                continue
+
+            valid_result = self.evaluate(valid_data, load_best_model=False)
+            valid_score = calculate_valid_score(valid_result, self.valid_metric)
+            best_score, cur_step, stop_flag, update_flag = early_stopping(
+                valid_score, best_score, cur_step, self.stopping_step,
+                bigger=self.valid_metric_bigger)
+            t2 = time.time()
+            if verbose:
+                self.logger.info("epoch %d evaluating [time: %.2fs, valid_score: %f]",
+                                 epoch_idx, t2 - t1, valid_score)
+                self.logger.info("valid result: \n%s", dict2str(valid_result))
+            if update_flag:
+                self.best_valid_score = valid_score
+                self.best_valid_result = valid_result
+                if saved:
+                    self._save_checkpoint(epoch_idx)
+                    if verbose:
+                        self.logger.info(set_color("Saving current best", "blue")
+                                         + f": {self.saved_model_file}")
+            if callback_fn:
+                callback_fn(epoch_idx, valid_score)
+            if stop_flag:
+                if verbose:
+                    self.logger.info("Finished training, best eval result in epoch %d",
+                                     epoch_idx - cur_step * self.eval_step)
+                break
+        return self.best_valid_score, self.best_valid_result
+
+    # ------------------------------------------------------------- checkpoint
+
+    def _save_checkpoint(self, epoch):
+        state = {
+            "config": dict(self.config.final),
+            "epoch": epoch,
+            "best_valid_score": self.best_valid_score,
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(
+                lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x,
+                self.opt_state),
+            "rng": np.asarray(jax.random.key_data(self.rng)),
+        }
+        with open(self.saved_model_file, "wb") as fh:
+            pickle.dump(state, fh)
+
+    def resume_checkpoint(self, resume_file):
+        with open(resume_file, "rb") as fh:
+            state = pickle.load(fh)
+        self.start_epoch = state["epoch"] + 1
+        self.best_valid_score = state["best_valid_score"]
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.opt_state = jax.tree.map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+            state["opt_state"])
+        self.rng = jax.random.wrap_key_data(jnp.asarray(state["rng"]))
+        if state["config"].get("model") != self.config["model"]:
+            self.logger.warning("Architecture configuration given in config file is "
+                                "different from that of checkpoint.")
+        self.logger.info("Checkpoint loaded. Resume training from epoch %d",
+                         self.start_epoch)
+
+    def load_params(self, model_file):
+        with open(model_file, "rb") as fh:
+            state = pickle.load(fh)
+        self.params = jax.tree.map(jnp.asarray, state["params"])
+
+    # ------------------------------------------------------------- evaluation
+
+    def _make_full_sort_eval_step(self, eval_data, metrics, max_k):
+        model = self.model
+        uid_f = self.config["USER_ID_FIELD"]
+        hist, hlen = eval_data.phase_history.device_tables(eval_data.mask_phase)
+        n_items = eval_data.n_items
+
+        @jax.jit
+        def eval_step(params, user_id, pos_items, pos_len, mask):
+            B = user_id.shape[0]
+            scores = model.full_sort_predict(params, {uid_f: user_id})
+            scores = scores.astype(jnp.float32)
+            scores = scores.at[:, 0].set(NEG_INF)  # [PAD] column
+            rows = jnp.arange(B)[:, None]
+            uh = hist[user_id]
+            hvalid = jnp.arange(uh.shape[1])[None, :] < hlen[user_id][:, None]
+            scores = scores.at[rows, uh].add(jnp.where(hvalid, NEG_INF, 0.0))
+            _, topk_idx = jax.lax.top_k(scores, max_k)
+            pos_matrix = jnp.zeros((B, n_items), jnp.int32) \
+                .at[rows, pos_items].max((jnp.arange(pos_items.shape[1])[None, :]
+                                          < pos_len[:, None]).astype(jnp.int32))
+            pos_index = jnp.take_along_axis(pos_matrix, topk_idx, axis=1)
+            return topk_metric_sums(metrics, pos_index, pos_len, mask)
+
+        return eval_step
+
+    def _make_sampled_eval_step(self, eval_data, metrics, max_k):
+        model = self.model
+        cfg = self.config
+        uid_f = cfg["USER_ID_FIELD"]
+        iid_f = cfg["ITEM_ID_FIELD"]
+        hist, hlen = eval_data.phase_history.device_tables(eval_data.sample_phase)
+        n_items = eval_data.n_items
+        P = eval_data.max_pos
+        k = eval_data.neg_k
+        rounds = cfg["neg_sampling_resample_rounds"]
+        pop = None
+        if eval_data.distribution == "popularity":
+            pop = jnp.asarray(
+                eval_data.phase_history.pop_items[eval_data.sample_phase])
+
+        @jax.jit
+        def eval_step(params, rng, user_id, pos_items, pos_len, mask):
+            B = user_id.shape[0]
+            negs = sample_negatives(rng, user_id, hist, hlen, n_items, P * k,
+                                    rounds=rounds, pop_items=pop)
+            cand = jnp.concatenate([pos_items, negs], axis=1)       # (B, C)
+            C = cand.shape[1]
+            pos_valid = jnp.arange(P)[None, :] < pos_len[:, None]
+            neg_valid = jnp.arange(P * k)[None, :] < (pos_len * k)[:, None]
+            cand_valid = jnp.concatenate([pos_valid, neg_valid], axis=1)
+            flat_batch = {uid_f: jnp.repeat(user_id, C),
+                          iid_f: cand.reshape(-1)}
+            scores = model.predict(params, flat_batch).reshape(B, C)
+            scores = jnp.where(cand_valid, scores.astype(jnp.float32), NEG_INF)
+            _, topk_idx = jax.lax.top_k(scores, max_k)
+            # positives sit in the first pos_len slots — rank membership is a
+            # simple index compare (replaces the reference's flip/swap trick,
+            # general_dataloader.py:319-328 + evaluators.py:134)
+            pos_index = (topk_idx < pos_len[:, None]).astype(jnp.int32)
+            return topk_metric_sums(metrics, pos_index, pos_len, mask)
+
+        return eval_step
+
+    def evaluate(self, eval_data, load_best_model=True, model_file=None,
+                 show_progress=False):
+        if load_best_model:
+            self.load_params(model_file or self.saved_model_file)
+        if self.params is None:
+            raise RuntimeError("no parameters — call fit() or load a checkpoint")
+
+        collector = TopKCollector(self.config)
+        metrics = tuple(collector.metrics)
+        max_k = collector.max_k
+
+        key = (id(eval_data), metrics, max_k, type(eval_data).__name__)
+        if key not in self._eval_step_cache:
+            if isinstance(eval_data, SampledEvalLoader):
+                self._eval_step_cache[key] = self._make_sampled_eval_step(
+                    eval_data, metrics, max_k)
+            else:
+                self._eval_step_cache[key] = self._make_full_sort_eval_step(
+                    eval_data, metrics, max_k)
+        step = self._eval_step_cache[key]
+
+        sampled = isinstance(eval_data, SampledEvalLoader)
+        for batch in eval_data:
+            args = [jnp.asarray(batch["user_id"]), jnp.asarray(batch["pos_items"]),
+                    jnp.asarray(batch["pos_len"]), jnp.asarray(batch["_mask"])]
+            if sampled:
+                self.rng, ek = jax.random.split(self.rng)
+                sums = step(self.params, ek, *args)
+            else:
+                sums = step(self.params, *args)
+            collector.collect({k2: np.asarray(v) for k2, v in sums.items()})
+        return collector.evaluate()
+
+
+class TraditionalTrainer(Trainer):
+    """Models fit in closed form / by counting: one 'epoch' builds the params
+    (parity: trainer.py:600-607)."""
+
+    def __init__(self, config, model):
+        super().__init__(config, model)
+        self.epochs = 1
+
+    def fit(self, train_data, valid_data=None, verbose=True, saved=True,
+            show_progress=False, callback_fn=None):
+        if saved:
+            ensure_dir(self.checkpoint_dir)
+        self.rng, init_key = jax.random.split(self.rng)
+        self.params = self.model.fit_params(init_key, train_data)
+        if valid_data is not None:
+            self.best_valid_result = self.evaluate(valid_data, load_best_model=False)
+            self.best_valid_score = calculate_valid_score(
+                self.best_valid_result, self.valid_metric)
+        if saved:
+            self._save_checkpoint(0)
+        return self.best_valid_score, self.best_valid_result
+
+
+TRAINER_REGISTRY = {}
+
+
+def register_trainer(name):
+    def deco(cls):
+        TRAINER_REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def get_trainer(model_type, model_name):
+    """parity: reference get_trainer (utils/utils.py:78-96) — model-specific
+    trainer, else type default."""
+    if model_name in TRAINER_REGISTRY:
+        return TRAINER_REGISTRY[model_name]
+    if model_type is ModelType.TRADITIONAL:
+        return TraditionalTrainer
+    return Trainer

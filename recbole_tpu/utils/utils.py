@@ -1,0 +1,61 @@
+"""Misc utilities: seeding, early stopping, dict rendering.
+
+Parity targets: reference init_seed (recbole/utils/utils.py:175-192),
+early_stopping (:99-140), calculate_valid_score (:143), dict2str (:159).
+"""
+
+import os
+import random
+
+import numpy as np
+
+
+def init_seed(seed: int, reproducibility: bool = True) -> None:
+    """Seed python + numpy. JAX randomness is explicit (keys), so the trainer
+    derives its root jax.random.key(seed) itself; this handles host-side RNG
+    used by shuffling and host samplers."""
+    random.seed(seed)
+    np.random.seed(seed)
+    os.environ.setdefault("PYTHONHASHSEED", str(seed))
+
+
+def early_stopping(value, best, cur_step, max_step, bigger=True):
+    """One step of patience-based early stopping.
+
+    Returns (best, cur_step, stop_flag, update_flag).
+    """
+    stop_flag = False
+    update_flag = False
+    if best is None:
+        improved = True
+    else:
+        improved = (value >= best) if bigger else (value <= best)
+    if improved:
+        best = value
+        cur_step = 0
+        update_flag = True
+    else:
+        cur_step += 1
+        if cur_step > max_step:
+            stop_flag = True
+    return best, cur_step, stop_flag, update_flag
+
+
+def calculate_valid_score(valid_result: dict, valid_metric: str | None = None):
+    """Pick the scalar used for early stopping from a metric dict."""
+    if valid_metric:
+        key = valid_metric.lower()
+        for k, v in valid_result.items():
+            if k.lower() == key:
+                return v
+        raise KeyError(f"valid_metric {valid_metric!r} not in results {list(valid_result)}")
+    return valid_result.get("recall@10", next(iter(valid_result.values())))
+
+
+def dict2str(result: dict) -> str:
+    return "    ".join(f"{k} : {v:.4f}" if isinstance(v, float) else f"{k} : {v}"
+                       for k, v in result.items())
+
+
+def ensure_dir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
