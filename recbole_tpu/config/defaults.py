@@ -35,6 +35,9 @@ TRAINING_DEFAULTS = {
     "param_dtype": "float32",       # master params
     "compute_dtype": "float32",     # set "bfloat16" for MXU-friendly towers
     "neg_sampling_resample_rounds": 8,  # bounded device-side rejection rounds
+    # 'rbg' uses the TPU hardware RNG path (threefry compiles pathologically
+    # slowly on TPU); set 'threefry2x32' for cross-backend bit-exactness
+    "prng_impl": "rbg",
     "donate_buffers": True,
     "profile_trace_dir": None,          # jax.profiler trace output (fork: torch profiler)
 }

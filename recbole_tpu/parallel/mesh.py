@@ -1,0 +1,88 @@
+"""Device mesh + sharding plans.
+
+No reference equivalent — the reference is single-process single-GPU
+(SURVEY.md §2.10). This is the TPU-native scale-out layer:
+
+  * one global Mesh with axes ("data", "model");
+  * embedding tables row-sharded over "model" (large vocabularies live
+    partitioned in HBM; XLA turns cross-shard gathers into all-to-all over ICI);
+  * everything else replicated; batches sharded over "data";
+  * full-sort scoring sharded over the item axis: each shard scores its item
+    slice and jax.lax.top_k + the final combine ride an all-gather of only
+    (B, k) candidates, not the (B, n_items) score matrix.
+
+The trainer activates this when config["mesh_shape"] is set; the same plan is
+exercised on a virtual CPU mesh by __graft_entry__.dryrun_multichip.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# embedding-table param names that get row-sharded over the "model" axis when
+# config["shard_item_embeddings"] is on
+_SHARDED_TABLE_KEYS = ("item_embedding", "entity_embedding")
+
+
+def make_mesh(mesh_shape, devices=None):
+    """mesh_shape: dict like {"data": 4, "model": 2}. Missing axes get size 1."""
+    devices = devices if devices is not None else jax.devices()
+    data = int(mesh_shape.get("data", 1))
+    model = int(mesh_shape.get("model", 1))
+    n = data * model
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+class ShardingPlan:
+    """Maps params/batches to NamedShardings for a mesh."""
+
+    def __init__(self, mesh, shard_item_embeddings=False):
+        self.mesh = mesh
+        self.shard_item_embeddings = shard_item_embeddings
+
+    def replicated(self):
+        return NamedSharding(self.mesh, P())
+
+    def batch_spec(self):
+        return NamedSharding(self.mesh, P("data"))
+
+    def param_shardings(self, params):
+        """Pytree of NamedShardings matching ``params``: 2-D embedding tables
+        named in _SHARDED_TABLE_KEYS are row-sharded over "model" (padded rows
+        make shards even), everything else replicated."""
+        model_size = self.mesh.shape["model"]
+
+        def spec_for(path, leaf):
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                            for p in path)
+            if (self.shard_item_embeddings and model_size > 1
+                    and leaf.ndim == 2
+                    and any(k in name for k in _SHARDED_TABLE_KEYS)
+                    and leaf.shape[0] % model_size == 0):
+                return NamedSharding(self.mesh, P("model", None))
+            return self.replicated()
+
+        return jax.tree_util.tree_map_with_path(spec_for, params)
+
+    def shard_params(self, params):
+        return jax.device_put(params, self.param_shardings(params))
+
+    def shard_batch(self, batch):
+        """Pad the leading dim to a multiple of the data axis and shard it."""
+        data_size = self.mesh.shape["data"]
+        out = {}
+        for k, v in batch.items():
+            b = v.shape[0]
+            rem = (-b) % data_size
+            if rem:
+                pad_width = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
+                v = np.pad(np.asarray(v), pad_width)
+            out[k] = jax.device_put(v, self.batch_spec())
+        return out
+
+
+def round_up(x, m):
+    return ((x + m - 1) // m) * m

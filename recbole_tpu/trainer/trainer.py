@@ -88,8 +88,16 @@ class Trainer:
         self._train_step_fn = None
         self._eval_step_cache = {}
 
+        # optional multi-chip sharding (no reference equivalent; SURVEY.md §2.10)
+        self.plan = None
+        if config["mesh_shape"]:
+            from ..parallel.mesh import make_mesh, ShardingPlan
+            mesh = make_mesh(config["mesh_shape"])
+            self.plan = ShardingPlan(mesh, config["shard_item_embeddings"])
+            self.logger.info("sharding over mesh %s", dict(mesh.shape))
+
         seed = config["seed"] or 0
-        self.rng = jax.random.key(seed)
+        self.rng = jax.random.key(seed, impl=config["prng_impl"] or "rbg")
 
     # ------------------------------------------------------------- train step
 
@@ -166,7 +174,10 @@ class Trainer:
         nan_seen = False
         loss_acc = 0.0
         for batch in train_data:
-            batch = {f: jnp.asarray(v) for f, v in batch.items()}
+            if self.plan is not None:
+                batch = self.plan.shard_batch(batch)
+            else:
+                batch = {f: jnp.asarray(v) for f, v in batch.items()}
             self.params, self.opt_state, self.rng, loss, parts = \
                 self._train_step_fn(self.params, self.opt_state, self.rng, batch)
             parts = np.asarray(parts)
@@ -190,6 +201,8 @@ class Trainer:
         if self.params is None:
             self.rng, init_key = jax.random.split(self.rng)
             self.params = self.model.init_params(init_key)
+            if self.plan is not None:
+                self.params = self.plan.shard_params(self.params)
             self.opt_state = self.optimizer.init(self.params)
         self._train_step_fn = self._make_train_step(train_data)
 
@@ -267,7 +280,9 @@ class Trainer:
         self.opt_state = jax.tree.map(
             lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
             state["opt_state"])
-        self.rng = jax.random.wrap_key_data(jnp.asarray(state["rng"]))
+        self.rng = jax.random.wrap_key_data(
+            jnp.asarray(state["rng"]),
+            impl=self.config["prng_impl"] or "rbg")
         if state["config"].get("model") != self.config["model"]:
             self.logger.warning("Architecture configuration given in config file is "
                                 "different from that of checkpoint.")

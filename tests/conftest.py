@@ -11,7 +11,12 @@ __graft_entry__.dryrun_multichip.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("RECBOLE_TPU_TEST_PLATFORM", "cpu")
+# NOTE: the JAX_PLATFORMS env var is overridden by the axon TPU plugin in this
+# image; jax.config is the reliable switch.
+import jax
+
+jax.config.update("jax_platforms",
+                  os.environ.get("RECBOLE_TPU_TEST_PLATFORM", "cpu"))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
