@@ -54,6 +54,42 @@ class TrainLoader:
             yield batch
 
 
+class UserTrainLoader:
+    """Batches of bare user ids for autoencoder models (MultiVAE family).
+
+    Parity: UserDataLoader (recbole/data/dataloader/user_dataloader.py:21-62) —
+    iterates each training user once per epoch, shuffle forced. The model
+    reconstructs the user's interaction row from the train history matrix it
+    captured at construction.
+    """
+
+    def __init__(self, config, dataset, batch_size=None, shuffle=True):
+        self.config = config
+        self.dataset = dataset
+        self.batch_size = batch_size or config["train_batch_size"]
+        uid_field = config["USER_ID_FIELD"]
+        self.users = np.unique(np.asarray(dataset.inter_feat[uid_field])) \
+            .astype(np.int32)
+        self.n = len(self.users)
+        self.uid_field = uid_field
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        order = np.random.permutation(self.n)
+        B = self.batch_size
+        for start in range(0, self.n, B):
+            idx = order[start:start + B]
+            pad = B - len(idx)
+            u = self.users[idx]
+            w = np.ones(B, dtype=np.float32)
+            if pad:
+                u = np.concatenate([u, np.zeros(pad, np.int32)])
+                w[-pad:] = 0.0
+            yield {self.uid_field: u, "_weight": w}
+
+
 class FullSortEvalLoader:
     """Full-sort ranking evaluation batches.
 

@@ -11,7 +11,8 @@ config key ``valid_full_to_uni1000``.
 import numpy as np
 
 from .dataset import Dataset
-from .loaders import TrainLoader, FullSortEvalLoader, SampledEvalLoader
+from .loaders import (TrainLoader, UserTrainLoader, FullSortEvalLoader,
+                      SampledEvalLoader)
 from ..config.eval_setting import EvalSetting
 from ..sampler.sampler import PhaseHistory
 from ..utils.enums import ModelType
@@ -48,7 +49,12 @@ def data_preparation(config, dataset, save=False):
                          np.asarray(ds.inter_feat[iid_f]))
     phase_history = PhaseHistory(dataset.user_num, dataset.item_num, splits)
 
-    train_loader = TrainLoader(config, train_ds)
+    batch_kind = getattr(getattr(config, "model_class", None),
+                         "train_batch_kind", "inter")
+    if batch_kind == "user":
+        train_loader = UserTrainLoader(config, train_ds)
+    else:
+        train_loader = TrainLoader(config, train_ds)
     _attach(train_loader, dataset, train_ds, phase_history, "train", "train")
 
     neg = es.neg_sample_args

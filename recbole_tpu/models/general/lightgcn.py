@@ -1,0 +1,103 @@
+"""LightGCN: linear graph-convolution collaborative filtering.
+
+Parity target: reference LightGCN (recbole/model/general_recommender/lightgcn.py)
+— K rounds of propagation over the symmetric-normalized user-item bipartite
+adjacency, layer-averaged embeddings, BPR + L2 reg on the EGO embeddings of
+the batch.
+
+TPU re-design: the normalized adjacency is precomputed once on host as COO
+edges (src, dst, w); propagation is gather -> scale -> segment_sum, which XLA
+lowers to efficient dynamic-gather/scatter over HBM. No sparse-tensor types,
+no per-step host work.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base import GeneralRecommender
+from ..layers import xavier_uniform
+from ..losses import bpr_loss
+from ...utils.enums import InputType
+from .. import register_model
+
+
+def build_norm_adj(inter_matrix, n_users, n_items):
+    """Symmetric-normalized bipartite adjacency as COO arrays.
+
+    Nodes 0..n_users-1 are users; n_users..n_users+n_items-1 are items.
+    Each interaction contributes both directions with weight 1/sqrt(du*di).
+    """
+    coo = inter_matrix.tocoo()
+    u, i = coo.row.astype(np.int32), coo.col.astype(np.int32)
+    du = np.bincount(u, minlength=n_users).astype(np.float32)
+    di = np.bincount(i, minlength=n_items).astype(np.float32)
+    w = 1.0 / np.sqrt(np.maximum(du[u], 1.0) * np.maximum(di[i], 1.0))
+    src = np.concatenate([u, i + n_users])
+    dst = np.concatenate([i + n_users, u])
+    weight = np.concatenate([w, w]).astype(np.float32)
+    return src, dst, weight
+
+
+@register_model("LightGCN")
+class LightGCN(GeneralRecommender):
+    input_type = InputType.PAIRWISE
+    default_config = {"embedding_size": 64, "n_layers": 2, "reg_weight": 1e-5}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = config["embedding_size"]
+        self.n_layers = config["n_layers"]
+        self.reg_weight = config["reg_weight"]
+        src, dst, w = build_norm_adj(dataset.inter_matrix("csr"),
+                                     self.n_users, self.n_items)
+        self.edge_src = jnp.asarray(src)
+        self.edge_dst = jnp.asarray(dst)
+        self.edge_w = jnp.asarray(w)
+        self.n_nodes = self.n_users + self.n_items
+
+    def init_params(self, rng):
+        ku, ki = jax.random.split(rng)
+        return {
+            "user_embedding": xavier_uniform(ku, (self.n_users, self.embedding_size)),
+            "item_embedding": xavier_uniform(ki, (self.n_items, self.embedding_size)),
+        }
+
+    def propagate(self, params):
+        ego = jnp.concatenate([params["user_embedding"],
+                               params["item_embedding"]], axis=0)
+        acc = ego
+        x = ego
+        for _ in range(self.n_layers):
+            msgs = x[self.edge_src] * self.edge_w[:, None]
+            x = jax.ops.segment_sum(msgs, self.edge_dst,
+                                    num_segments=self.n_nodes)
+            acc = acc + x
+        final = acc / (self.n_layers + 1)
+        return final[:self.n_users], final[self.n_users:]
+
+    def calculate_loss(self, params, batch, rng=None):
+        ue, ie = self.propagate(params)
+        u = batch[self.USER_ID]
+        pos = batch[self.ITEM_ID]
+        neg = batch[self.NEG_ITEM_ID]
+        pos_score = jnp.sum(ue[u] * ie[pos], axis=-1)
+        neg_score = jnp.sum(ue[u] * ie[neg], axis=-1)
+        mf_loss = bpr_loss(pos_score, neg_score, batch.get("_weight"))
+        # reg on ego (pre-propagation) embeddings (reference behavior)
+        w = batch.get("_weight")
+        w = jnp.ones_like(pos_score) if w is None else w
+        reg = jnp.sum((jnp.sum(params["user_embedding"][u] ** 2, -1)
+                       + jnp.sum(params["item_embedding"][pos] ** 2, -1)
+                       + jnp.sum(params["item_embedding"][neg] ** 2, -1)) * w)
+        reg = reg / (2.0 * jnp.maximum(jnp.sum(w), 1.0))
+        return mf_loss + self.reg_weight * reg
+
+    def predict(self, params, batch):
+        ue, ie = self.propagate(params)
+        return jnp.sum(ue[batch[self.USER_ID]] * ie[batch[self.ITEM_ID]], axis=-1)
+
+    def full_sort_predict(self, params, batch):
+        ue, ie = self.propagate(params)
+        return jnp.dot(ue[batch[self.USER_ID]], ie.T,
+                       preferred_element_type=jnp.float32)

@@ -82,6 +82,7 @@ class Trainer:
         self.best_valid_score = None
         self.best_valid_result = None
         self.start_epoch = 0
+        self.global_step = 0
         self.params = None
         self.opt_state = None
         self.train_loss_dict = {}
@@ -132,14 +133,17 @@ class Trainer:
                     out[neg_f] = negs[:, 0]
                     return out
                 # each positive row repeated k times, one negative each
-                out = {f: jnp.repeat(v, k, axis=0) for f, v in batch.items()}
+                out = {f: (v if v.ndim == 0 else jnp.repeat(v, k, axis=0))
+                       for f, v in batch.items()}
                 out[neg_f] = negs.reshape(-1)
                 return out
             # POINTWISE: originals (label from data or 1) + k negatives (label 0)
             B = batch[uid_f].shape[0]
             out = {}
             for f, v in batch.items():
-                if f == iid_f:
+                if v.ndim == 0:
+                    out[f] = v
+                elif f == iid_f:
                     out[f] = jnp.concatenate([v, negs.T.reshape(-1)])
                 elif f == label_f:
                     out[f] = jnp.concatenate([v, jnp.zeros(B * k, v.dtype)])
@@ -174,6 +178,9 @@ class Trainer:
         nan_seen = False
         loss_acc = 0.0
         for batch in train_data:
+            batch = dict(batch)
+            batch["_step"] = np.int32(self.global_step)
+            self.global_step += 1
             if self.plan is not None:
                 batch = self.plan.shard_batch(batch)
             else:
@@ -299,13 +306,37 @@ class Trainer:
     def _make_full_sort_eval_step(self, eval_data, metrics, max_k):
         model = self.model
         uid_f = self.config["USER_ID_FIELD"]
+        iid_f = self.config["ITEM_ID_FIELD"]
         hist, hlen = eval_data.phase_history.device_tables(eval_data.mask_phase)
         n_items = eval_data.n_items
+
+        from ..models.base import AbstractRecommender
+        has_full_sort = (type(model).full_sort_predict
+                         is not AbstractRecommender.full_sort_predict)
+
+        def all_item_scores(params, user_id):
+            if has_full_sort:
+                return model.full_sort_predict(params, {uid_f: user_id})
+            # fallback: chunked predict over the item axis (parity:
+            # reference _spilt_predict, trainer.py:333-340,414-428)
+            B = user_id.shape[0]
+            chunk = min(2048, n_items)
+            n_chunks = -(-n_items // chunk)
+            items = jnp.arange(n_chunks * chunk, dtype=jnp.int32) % n_items
+            items = items.reshape(n_chunks, chunk)
+
+            def score_chunk(item_chunk):
+                b = {uid_f: jnp.repeat(user_id, chunk),
+                     iid_f: jnp.tile(item_chunk, B)}
+                return model.predict(params, b).reshape(B, chunk)
+
+            scores = jax.lax.map(score_chunk, items)          # (n_chunks, B, chunk)
+            return scores.transpose(1, 0, 2).reshape(B, -1)[:, :n_items]
 
         @jax.jit
         def eval_step(params, user_id, pos_items, pos_len, mask):
             B = user_id.shape[0]
-            scores = model.full_sort_predict(params, {uid_f: user_id})
+            scores = all_item_scores(params, user_id)
             scores = scores.astype(jnp.float32)
             scores = scores.at[:, 0].set(NEG_INF)  # [PAD] column
             rows = jnp.arange(B)[:, None]
