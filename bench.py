@@ -1,0 +1,104 @@
+"""Benchmark: BPR training throughput on an ml-1m-shaped dataset.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's published BPRMF ml-1m training time of 1.93 s/epoch
+on a TITAN RTX (asset/time_test_result/General_recommendation.md:30). With the
+same protocol (RO_RS 0.8 train split of 1,000,209 interactions = ~800,167
+examples/epoch, batch 2048, 1 uniform negative per positive), that is
+~414,594 examples/s. vs_baseline = our examples/s / reference examples/s.
+
+ml-1m itself isn't shipped in this image, so we synthesize a dataset with
+ml-1m's exact shape (6040 users, 3706 items, 1,000,209 interactions, zipf-ish
+popularity) — throughput depends on shapes, not values.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_USERS, N_ITEMS, N_INTER = 6040, 3706, 1_000_209
+REF_EPOCH_S = 1.93
+REF_EXAMPLES_PER_EPOCH = int(N_INTER * 0.8)
+REF_THROUGHPUT = REF_EXAMPLES_PER_EPOCH / REF_EPOCH_S
+
+CACHE = "/tmp/recbole_tpu_bench_data"
+
+
+def synth_ml1m(root):
+    """Fast columnar synthesis of an ml-1m-shaped dataset (no atomic-file
+    round trip — we build the Dataset's post-remap arrays directly)."""
+    rng = np.random.RandomState(42)
+    uids = rng.randint(1, N_USERS + 1, size=N_INTER).astype(np.int32)
+    # zipf-ish item popularity via inverse-CDF on a power law
+    r = rng.random(N_INTER)
+    iids = (1 + np.floor((N_ITEMS - 1) * r ** 2.2)).astype(np.int32)
+    ts = np.arange(N_INTER, dtype=np.float32)
+    return uids, iids, ts
+
+
+def main():
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.data.dataset import Dataset
+    from recbole_tpu.data.utils import data_preparation
+    from recbole_tpu.models import get_model
+    from recbole_tpu.trainer.trainer import get_trainer
+    from recbole_tpu.utils.enums import FeatureType, FeatureSource
+    from recbole_tpu.utils.utils import init_seed
+
+    config = Config("BPR", "ml-1m-synth", config_dict={
+        "epochs": 1, "state": "ERROR", "valid_full_to_uni1000": False,
+        "data_path": "/tmp", "checkpoint_dir": "/tmp/recbole_tpu_bench_saved",
+        "log_dir": "/tmp/recbole_tpu_bench_log",
+    }, _parse_cmd_line=False)
+    init_seed(config["seed"])
+
+    uids, iids, ts = synth_ml1m(CACHE)
+    ds = Dataset(config, _build=False)
+    ds.inter_feat = {"user_id": uids, "item_id": iids, "timestamp": ts}
+    ds.field2type = {"user_id": FeatureType.TOKEN, "item_id": FeatureType.TOKEN,
+                     "timestamp": FeatureType.FLOAT}
+    ds.field2source = {"user_id": FeatureSource.USER_ID,
+                       "item_id": FeatureSource.ITEM_ID,
+                       "timestamp": FeatureSource.INTERACTION}
+    ds.field2id_token = {
+        "user_id": np.array(["[PAD]"] + [str(u) for u in range(1, N_USERS + 1)]),
+        "item_id": np.array(["[PAD]"] + [str(i) for i in range(1, N_ITEMS + 1)]),
+    }
+    ds.field2token_id = {f: {t: i for i, t in enumerate(v)}
+                         for f, v in ds.field2id_token.items()}
+
+    train_data, valid_data, test_data = data_preparation(config, ds)
+    model = get_model("BPR")(config, train_data.dataset)
+    trainer = get_trainer(config["MODEL_TYPE"], "BPR")(config, model)
+
+    import jax
+    trainer.prepare(train_data)
+
+    # warm-up epoch: compiles + fills caches
+    trainer._train_epoch(train_data, 0)
+
+    n_epochs = 10
+    t0 = time.time()
+    for ep in range(1, 1 + n_epochs):
+        trainer._train_epoch(train_data, ep)
+    jax.block_until_ready(trainer.params)
+    dt = (time.time() - t0) / n_epochs
+
+    examples = len(train_data.dataset)
+    throughput = examples / dt
+    print(json.dumps({
+        "metric": "BPR ml-1m-shape train throughput (examples/s/chip)",
+        "value": round(throughput, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(throughput / REF_THROUGHPUT, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

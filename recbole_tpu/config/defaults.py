@@ -39,6 +39,10 @@ TRAINING_DEFAULTS = {
     # slowly on TPU); set 'threefry2x32' for cross-backend bit-exactness
     "prng_impl": "rbg",
     "donate_buffers": True,
+    # whole-epoch device-resident lax.scan training (one dispatch per epoch);
+    # falls back to per-batch streaming when the table exceeds the byte cap
+    "scan_epochs": True,
+    "scan_epochs_max_bytes": 2 << 30,
     "profile_trace_dir": None,          # jax.profiler trace output (fork: torch profiler)
 }
 

@@ -23,6 +23,30 @@ from ..utils.enums import FeatureType, FeatureSource
 PAD_TOKEN = "[PAD]"
 
 
+def build_history_matrix(keys, values, num_keys, max_len=None):
+    """Dense per-key history: (num_keys, width) padded with 0 + lengths.
+
+    Fully vectorized (stable sort + group-offset arithmetic); this is on the
+    critical path for million-interaction datasets.
+    """
+    keys = np.asarray(keys)
+    values = np.asarray(values)
+    counts = np.bincount(keys, minlength=num_keys)
+    width = int(counts.max()) if counts.size and counts.max() > 0 else 1
+    if max_len is not None:
+        width = min(width, max_len)
+    order = np.argsort(keys, kind="stable")
+    sk, sv = keys[order], values[order]
+    starts = np.zeros(num_keys + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(len(sk)) - starts[sk]
+    keep = pos < width
+    hist = np.zeros((num_keys, width), dtype=np.int32)
+    hist[sk[keep], pos[keep]] = sv[keep]
+    lens = np.minimum(counts, width).astype(np.int32)
+    return hist, lens
+
+
 class Dataset:
     """Columnar dataset.
 
@@ -507,18 +531,7 @@ class Dataset:
 
     @staticmethod
     def _history_matrix(keys, values, num_keys, max_len=None):
-        counts = np.bincount(keys, minlength=num_keys)
-        width = int(counts.max()) if len(counts) and counts.max() > 0 else 1
-        if max_len is not None:
-            width = min(width, max_len)
-        hist = np.zeros((num_keys, width), dtype=np.int32)
-        cursor = np.zeros(num_keys, dtype=np.int64)
-        for k, v in zip(keys, values):
-            c = cursor[k]
-            if c < width:
-                hist[k, c] = v
-                cursor[k] = c + 1
-        return hist, cursor.astype(np.int32)
+        return build_history_matrix(keys, values, num_keys, max_len)
 
     # ----------------------------------------------------------------- build
 

@@ -35,6 +35,12 @@ class TrainLoader:
     def __len__(self):
         return (self.n + self.batch_size - 1) // self.batch_size
 
+    def columns(self):
+        """Full training table as columnar numpy arrays — uploaded to device
+        ONCE by the scanned-epoch trainer (shuffling and batching then happen
+        on device; zero per-step host work)."""
+        return dict(self.fields)
+
     def __iter__(self):
         order = np.random.permutation(self.n) if self.shuffle else np.arange(self.n)
         B = self.batch_size
@@ -75,6 +81,9 @@ class UserTrainLoader:
 
     def __len__(self):
         return (self.n + self.batch_size - 1) // self.batch_size
+
+    def columns(self):
+        return {self.uid_field: self.users}
 
     def __iter__(self):
         order = np.random.permutation(self.n)

@@ -53,19 +53,8 @@ class PhaseHistory:
 
 
 def _build_history(uids, iids, n_users, max_len=None):
-    counts = np.bincount(uids, minlength=n_users)
-    width = int(counts.max()) if counts.size and counts.max() > 0 else 1
-    if max_len is not None:
-        width = min(width, max_len)
-    order = np.argsort(uids, kind="stable")
-    hist = np.zeros((n_users, width), dtype=np.int32)
-    lens = np.zeros(n_users, dtype=np.int32)
-    for idx in order:
-        u = uids[idx]
-        if lens[u] < width:
-            hist[u, lens[u]] = iids[idx]
-            lens[u] += 1
-    return hist, lens
+    from ..data.dataset import build_history_matrix
+    return build_history_matrix(uids, iids, n_users, max_len)
 
 
 def sample_negatives(rng, user_ids, history, hist_len, n_items, num_neg,

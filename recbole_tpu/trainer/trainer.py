@@ -87,6 +87,9 @@ class Trainer:
         self.opt_state = None
         self.train_loss_dict = {}
         self._train_step_fn = None
+        self._epoch_fn = None
+        self._epoch_steps = 0
+        self._device_columns = None
         self._eval_step_cache = {}
 
         # optional multi-chip sharding (no reference equivalent; SURVEY.md §2.10)
@@ -155,8 +158,7 @@ class Trainer:
                 out[label_f] = jnp.concatenate([pos_label, jnp.zeros(B * k)])
             return out
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, rng, batch):
+        def step_core(params, opt_state, rng, batch):
             rng, k_neg, k_loss = jax.random.split(rng, 3)
             batch = augment(batch, k_neg)
 
@@ -171,12 +173,67 @@ class Trainer:
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, rng, loss, parts
 
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, rng, batch):
+            return step_core(params, opt_state, rng, batch)
+
+        self._step_core = step_core
         return train_step
 
+    def _make_epoch_fn(self, train_data):
+        """Whole-epoch device program: on-device shuffle + lax.scan over fixed
+        batches. The training table is uploaded once and stays HBM-resident;
+        the host issues ONE dispatch per epoch (the per-step dispatch latency
+        of a remote/tunneled accelerator would otherwise dominate small
+        models)."""
+        step_core = self._step_core
+        B = train_data.batch_size
+        N = train_data.n
+        steps = -(-N // B)
+        Npad = steps * B
+        shuffle = getattr(train_data, "shuffle", True)
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
+        def epoch_fn(params, opt_state, rng, step0, data):
+            rng, kperm = jax.random.split(rng)
+            if shuffle:
+                perm = jax.random.permutation(kperm, Npad)
+            else:
+                perm = jnp.arange(Npad)
+
+            def body(carry, idxs):
+                params, opt_state, rng, step = carry
+                valid = idxs < N
+                idx = jnp.where(valid, idxs, 0)
+                batch = {f: v[idx] for f, v in data.items()}
+                batch["_weight"] = valid.astype(jnp.float32)
+                batch["_step"] = step
+                params, opt_state, rng, _, parts = step_core(
+                    params, opt_state, rng, batch)
+                return (params, opt_state, rng, step + 1), parts
+
+            (params, opt_state, rng, step), parts = jax.lax.scan(
+                body, (params, opt_state, rng, step0),
+                perm.reshape(steps, B))
+            return params, opt_state, rng, step, jnp.sum(parts, axis=0)
+
+        return epoch_fn, steps
+
     def _train_epoch(self, train_data, epoch_idx):
+        """One epoch. Loss parts stay ON DEVICE until epoch end so the host
+        never blocks the async dispatch pipeline; the NaN check (parity:
+        reference trainer.py:234-236) runs once per epoch on the total."""
+        if self._epoch_fn is not None:
+            self.params, self.opt_state, self.rng, _, parts = self._epoch_fn(
+                self.params, self.opt_state, self.rng,
+                jnp.int32(self.global_step), self._device_columns)
+            self.global_step += self._epoch_steps
+            total = np.asarray(parts)
+            if np.isnan(total).any():
+                raise ValueError(f"Training loss is nan at epoch {epoch_idx}")
+            return tuple(total.tolist()) if len(total) > 1 else float(total[0])
+
         total = None
-        nan_seen = False
-        loss_acc = 0.0
         for batch in train_data:
             batch = dict(batch)
             batch["_step"] = np.int32(self.global_step)
@@ -187,24 +244,17 @@ class Trainer:
                 batch = {f: jnp.asarray(v) for f, v in batch.items()}
             self.params, self.opt_state, self.rng, loss, parts = \
                 self._train_step_fn(self.params, self.opt_state, self.rng, batch)
-            parts = np.asarray(parts)
-            if np.isnan(parts).any():
-                nan_seen = True
-                break
             total = parts if total is None else total + parts
-            loss_acc += float(np.sum(parts))
-        if nan_seen:
-            raise ValueError(f"Training loss is nan at epoch {epoch_idx}")
         if total is None:
             return 0.0
+        total = np.asarray(total)
+        if np.isnan(total).any():
+            raise ValueError(f"Training loss is nan at epoch {epoch_idx}")
         return tuple(total.tolist()) if len(total) > 1 else float(total[0])
 
-    # -------------------------------------------------------------------- fit
-
-    def fit(self, train_data, valid_data=None, verbose=True, saved=True,
-            show_progress=False, callback_fn=None):
-        if saved:
-            ensure_dir(self.checkpoint_dir)
+    def prepare(self, train_data):
+        """Initialize params/optimizer and build the jitted step + (when the
+        table fits HBM) the whole-epoch scan program."""
         if self.params is None:
             self.rng, init_key = jax.random.split(self.rng)
             self.params = self.model.init_params(init_key)
@@ -212,6 +262,22 @@ class Trainer:
                 self.params = self.plan.shard_params(self.params)
             self.opt_state = self.optimizer.init(self.params)
         self._train_step_fn = self._make_train_step(train_data)
+        self._epoch_fn = None
+        if (self.config["scan_epochs"] and self.plan is None
+                and hasattr(train_data, "columns")):
+            cols = train_data.columns()
+            nbytes = sum(v.nbytes for v in cols.values())
+            if nbytes <= (self.config["scan_epochs_max_bytes"] or 2 << 30):
+                self._device_columns = {f: jnp.asarray(v) for f, v in cols.items()}
+                self._epoch_fn, self._epoch_steps = self._make_epoch_fn(train_data)
+
+    # -------------------------------------------------------------------- fit
+
+    def fit(self, train_data, valid_data=None, verbose=True, saved=True,
+            show_progress=False, callback_fn=None):
+        if saved:
+            ensure_dir(self.checkpoint_dir)
+        self.prepare(train_data)
 
         if saved and self.start_epoch >= self.epochs:
             self._save_checkpoint(-1)

@@ -9,6 +9,9 @@ from recbole_tpu.models import model_names
 
 
 BASE = {
+    # streaming path keeps per-test CPU compiles small; the scanned-epoch path
+    # is covered by tests/test_smoke_bpr.py
+    "scan_epochs": False,
     "epochs": 1,
     "train_batch_size": 256,
     "eval_batch_size": 256,
