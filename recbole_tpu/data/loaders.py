@@ -60,6 +60,155 @@ class TrainLoader:
             yield batch
 
 
+class ArrayTrainLoader:
+    """Train loader over an explicit columnar table (shared machinery for
+    sequential/KG streams). Supports both the scanned-epoch path (columns())
+    and per-batch streaming (__iter__)."""
+
+    def __init__(self, config, columns, batch_size=None, shuffle=True,
+                 device_transform=None):
+        self.config = config
+        self.batch_size = batch_size or config["train_batch_size"]
+        self.shuffle = shuffle
+        self._columns = columns
+        self.device_transform = device_transform
+        self.n = len(next(iter(columns.values())))
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def columns(self):
+        return dict(self._columns)
+
+    def __iter__(self):
+        order = np.random.permutation(self.n) if self.shuffle else np.arange(self.n)
+        B = self.batch_size
+        for start in range(0, self.n, B):
+            idx = order[start:start + B]
+            pad = B - len(idx)
+            batch = {}
+            for f, col in self._columns.items():
+                vals = col[idx]
+                if pad:
+                    vals = np.concatenate(
+                        [vals, np.zeros((pad,) + col.shape[1:], dtype=col.dtype)])
+                batch[f] = vals
+            w = np.ones(B, dtype=np.float32)
+            if pad:
+                w[-pad:] = 0.0
+            batch["_weight"] = w
+            yield batch
+
+
+def make_seq_transform(item_stream, max_len, seq_field, len_field):
+    """Device-side padded-sequence materialization from the global stream:
+    replaces the reference's per-row Python `augmentation` loop
+    (sequential_dataloader.py:115-146) with one gather inside the jitted step."""
+    import jax.numpy as jnp
+    stream = jnp.asarray(item_stream)
+
+    def transform(batch):
+        offs = jnp.arange(max_len, dtype=jnp.int32)
+        idx = batch["seq_start"][:, None] + offs[None, :]
+        valid = offs[None, :] < batch[len_field][:, None]
+        seq = jnp.where(valid, stream[jnp.where(valid, idx, 0)], 0)
+        out = {k: v for k, v in batch.items() if k != "seq_start"}
+        out[seq_field] = seq
+        return out
+
+    return transform
+
+
+class SequentialTrainLoader(ArrayTrainLoader):
+    def __init__(self, config, split, batch_size=None):
+        iid_f = config["ITEM_ID_FIELD"]
+        columns = {
+            config["USER_ID_FIELD"]: split.uid,
+            "seq_start": split.start,
+            config["ITEM_LIST_LENGTH_FIELD"]: split.length,
+            iid_f: split.target,
+        }
+        transform = make_seq_transform(
+            split.item_stream, config["MAX_ITEM_LIST_LENGTH"],
+            iid_f + config["LIST_SUFFIX"], config["ITEM_LIST_LENGTH_FIELD"])
+        super().__init__(config, columns, batch_size,
+                         device_transform=transform)
+        self.dataset = split
+
+
+class SequentialEvalLoader:
+    """Eval batches for sequential splits: one (seq -> target) example per row.
+
+    pos_len is always 1; no history masking (items may repeat — parity:
+    SequentialFullDataLoader, sequential_dataloader.py:236-294, history_index
+    None) and negative sampling is repeatable.
+    """
+
+    mask_history = False
+    repeatable_sampling = True
+
+    def __init__(self, config, split, n_items, batch_size=None):
+        self.config = config
+        self.split = split
+        self.n_items = n_items
+        self.uid_f = config["USER_ID_FIELD"]
+        self.len_f = config["ITEM_LIST_LENGTH_FIELD"]
+        self.max_pos = 1
+        self.device_transform = make_seq_transform(
+            split.item_stream, config["MAX_ITEM_LIST_LENGTH"],
+            config["ITEM_ID_FIELD"] + config["LIST_SUFFIX"], self.len_f)
+        if batch_size is None:
+            budget = (config["eval_batch_size"] or 4096) * 4096
+            batch_size = int(np.clip(budget // max(n_items, 1), 8, 4096))
+        self.batch_size = batch_size
+        self.n = len(split)
+
+    @property
+    def n_eval_users(self):
+        return self.n
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        B = self.batch_size
+        for start in range(0, self.n, B):
+            sl = slice(start, min(start + B, self.n))
+            cnt = sl.stop - sl.start
+            pad = B - cnt
+
+            def padded(a, fill=0):
+                out = np.full((B,) + a.shape[1:], fill, dtype=a.dtype)
+                out[:cnt] = a[sl]
+                return out
+
+            yield {
+                self.uid_f: padded(self.split.uid),
+                "seq_start": padded(self.split.start),
+                self.len_f: np.maximum(padded(self.split.length), 1),
+                "pos_items": padded(self.split.target)[:, None],
+                "pos_len": np.concatenate([np.ones(cnt, np.int32),
+                                           np.zeros(pad, np.int32)]),
+                "_mask": np.concatenate([np.ones(cnt, np.float32),
+                                         np.zeros(pad, np.float32)]),
+            }
+
+
+class SequentialSampledEvalLoader(SequentialEvalLoader):
+    def __init__(self, config, split, n_items, neg_sample_args, batch_size=None):
+        self.neg_k = int(neg_sample_args["by"])
+        self.distribution = neg_sample_args.get("distribution", "uniform")
+        super().__init__(config, split, n_items, batch_size)
+        if batch_size is None:
+            width = max(1 + self.neg_k, 1)
+            budget = (self.config["eval_batch_size"] or 4096) * 4096
+            self.batch_size = int(np.clip(budget // width, 4, 4096))
+
+    @property
+    def num_candidates(self):
+        return 1 + self.neg_k
+
+
 class UserTrainLoader:
     """Batches of bare user ids for autoencoder models (MultiVAE family).
 

@@ -43,15 +43,22 @@ def data_preparation(config, dataset, save=False):
                 len(train_ds), len(valid_ds), len(test_ds))
 
     uid_f, iid_f = dataset.uid_field, dataset.iid_field
+    sequential = hasattr(train_ds, "item_stream")
     splits = {}
     for phase, ds in (("train", train_ds), ("valid", valid_ds), ("test", test_ds)):
-        splits[phase] = (np.asarray(ds.inter_feat[uid_f]),
-                         np.asarray(ds.inter_feat[iid_f]))
+        if sequential:
+            splits[phase] = (np.asarray(ds.uid), np.asarray(ds.target))
+        else:
+            splits[phase] = (np.asarray(ds.inter_feat[uid_f]),
+                             np.asarray(ds.inter_feat[iid_f]))
     phase_history = PhaseHistory(dataset.user_num, dataset.item_num, splits)
 
     batch_kind = getattr(getattr(config, "model_class", None),
                          "train_batch_kind", "inter")
-    if batch_kind == "user":
+    if sequential:
+        from .loaders import SequentialTrainLoader
+        train_loader = SequentialTrainLoader(config, train_ds)
+    elif batch_kind == "user":
         train_loader = UserTrainLoader(config, train_ds)
     else:
         train_loader = TrainLoader(config, train_ds)
@@ -66,9 +73,9 @@ def data_preparation(config, dataset, save=False):
                     "valid_full_to_uni1000: False)")
         valid_neg = {"strategy": "by", "by": 1000, "distribution": "uniform"}
 
-    valid_loader = _make_eval_loader(config, valid_ds, dataset, valid_neg)
+    valid_loader = _make_eval_loader(config, valid_ds, dataset, valid_neg, sequential)
     _attach(valid_loader, dataset, valid_ds, phase_history, "train", "valid")
-    test_loader = _make_eval_loader(config, test_ds, dataset, neg)
+    test_loader = _make_eval_loader(config, test_ds, dataset, neg, sequential)
     _attach(test_loader, dataset, test_ds, phase_history, "valid", "test")
 
     if save:
@@ -82,10 +89,17 @@ def data_preparation(config, dataset, save=False):
     return train_loader, valid_loader, test_loader
 
 
-def _make_eval_loader(config, split_ds, full_ds, neg_args):
-    if neg_args["strategy"] == "full":
+def _make_eval_loader(config, split_ds, full_ds, neg_args, sequential=False):
+    if sequential:
+        from .loaders import SequentialEvalLoader, SequentialSampledEvalLoader
+        if neg_args["strategy"] == "full":
+            return SequentialEvalLoader(config, split_ds, full_ds.item_num)
+        if neg_args["strategy"] == "by":
+            return SequentialSampledEvalLoader(config, split_ds,
+                                               full_ds.item_num, neg_args)
+    elif neg_args["strategy"] == "full":
         return FullSortEvalLoader(config, split_ds, full_ds.item_num)
-    if neg_args["strategy"] == "by":
+    elif neg_args["strategy"] == "by":
         return SampledEvalLoader(config, split_ds, full_ds.item_num, neg_args)
     raise NotImplementedError(f"eval neg strategy {neg_args['strategy']!r}")
 

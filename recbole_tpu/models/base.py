@@ -47,6 +47,17 @@ class AbstractRecommender:
         the trainer falls back to chunked ``predict`` when absent."""
         raise NotImplementedError
 
+    def score_items(self, params, batch, items):
+        """(B, C) scores of candidate ``items`` for each row. Default flattens
+        to ``predict``; models with a cheap representation (one user/seq vector
+        dotted with item embeddings) override this to avoid C-fold repeats."""
+        import jax.numpy as jnp
+        B, C = items.shape
+        flat = {k: (v if v.ndim == 0 else jnp.repeat(v, C, axis=0))
+                for k, v in batch.items()}
+        flat[self.config["ITEM_ID_FIELD"]] = items.reshape(-1)
+        return self.predict(params, flat).reshape(B, C)
+
     def num_params(self, params):
         import jax
         return sum(p.size for p in jax.tree.leaves(params))

@@ -115,6 +115,53 @@ def fm_pairwise(emb):
     return 0.5 * jnp.sum(sum_sq - sq_sum, axis=-1)
 
 
+# ------------------------------------------------------------------------ GRU
+
+def gru_init(rng, input_size, hidden_size, n_layers=1, dtype=jnp.float32):
+    """Multi-layer GRU parameters (gates ordered r, z, n — torch convention,
+    matching the reference's nn.GRU semantics)."""
+    layers = []
+    for li in range(n_layers):
+        in_dim = input_size if li == 0 else hidden_size
+        rng, k1, k2 = jax.random.split(rng, 3)
+        layers.append({
+            "wi": xavier_uniform(k1, (in_dim, 3 * hidden_size), dtype),
+            "wh": xavier_uniform(k2, (hidden_size, 3 * hidden_size), dtype),
+            "bi": jnp.zeros((3 * hidden_size,), dtype),
+            "bh": jnp.zeros((3 * hidden_size,), dtype),
+        })
+    return layers
+
+
+def gru_apply(params, x, h0=None):
+    """x: (B, L, D) -> outputs (B, L, H) of the last layer.
+
+    lax.scan over time; each gate matmul is batched on the MXU.
+    """
+    B, L, _ = x.shape
+    for layer in params:
+        H = layer["wh"].shape[0]
+        h_init = jnp.zeros((B, H), x.dtype) if h0 is None else h0
+
+        xi = jnp.dot(x, layer["wi"], preferred_element_type=jnp.float32) \
+            + layer["bi"]                                      # (B, L, 3H)
+
+        def step(h, xi_t):
+            hh = jnp.dot(h, layer["wh"],
+                         preferred_element_type=jnp.float32) + layer["bh"]
+            ir, iz, in_ = jnp.split(xi_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(hh, 3, axis=-1)
+            r = jax.nn.sigmoid(ir + hr)
+            z = jax.nn.sigmoid(iz + hz)
+            n = jnp.tanh(in_ + r * hn)
+            h_new = (1 - z) * n + z * h
+            return h_new, h_new
+
+        _, outs = jax.lax.scan(step, h_init, xi.transpose(1, 0, 2))
+        x = outs.transpose(1, 0, 2)
+    return x
+
+
 # --------------------------------------------------------------- transformer
 
 def transformer_init(rng, n_layers, n_heads, hidden, inner, dtype=jnp.float32):
@@ -136,7 +183,7 @@ def transformer_init(rng, n_layers, n_heads, hidden, inner, dtype=jnp.float32):
             "ff2_w": xavier_uniform(ks[5], (inner, hidden), dtype),
             "ff2_b": jnp.zeros((hidden,), dtype),
         })
-    return {"layers": layers, "n_heads": n_heads}
+    return layers
 
 
 def layer_norm(x, g, b, eps=1e-12):
@@ -145,16 +192,15 @@ def layer_norm(x, g, b, eps=1e-12):
     return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
 
 
-def transformer_apply(params, x, attn_mask, act="gelu",
+def transformer_apply(params, x, attn_mask, n_heads, act="gelu",
                       dropout=0.0, attn_dropout=0.0, rng=None):
     """x: (B, L, D); attn_mask: (B, 1, L, L) additive (-inf for blocked).
 
     Post-LN residual blocks matching the reference TransformerLayer
     (layers.py:469): attention -> add&norm -> FFN -> add&norm.
     """
-    n_heads = params["n_heads"]
     fn = activation(act)
-    for layer in params["layers"]:
+    for layer in params:
         B, L, D = x.shape
         hd = D // n_heads
 

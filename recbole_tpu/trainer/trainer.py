@@ -30,7 +30,7 @@ from ..utils.enums import InputType, ModelType
 from ..utils.logger import get_logger, get_local_time, set_color
 from ..utils.utils import early_stopping, calculate_valid_score, dict2str, ensure_dir
 from ..evaluator.evaluator import topk_metric_sums, TopKCollector, ValueCollector
-from ..sampler.sampler import sample_negatives
+from ..sampler.sampler import sample_negatives, sample_negatives_unchecked
 from ..data.loaders import FullSortEvalLoader, SampledEvalLoader, TrainLoader
 
 NEG_INF = -1e15
@@ -119,6 +119,10 @@ class Trainer:
 
         hist, hlen = train_data.phase_history.device_tables("train")
         n_items = train_data.n_items
+        # sequential models sample without used-id exclusion — items may repeat
+        # in a history (parity: RepeatableSampler, sampler.py:341-420)
+        repeatable = model.type is ModelType.SEQUENTIAL
+        transform = getattr(train_data, "device_transform", None)
         pop = None
         if neg_args.get("distribution") == "popularity":
             pop = jnp.asarray(train_data.phase_history.pop_items["train"])
@@ -126,10 +130,16 @@ class Trainer:
         def augment(batch, rng):
             """Device-side batch shaping (parity: NegSampleByMixin semantics,
             neg_sample_mixin.py:104-124)."""
+            if transform is not None:
+                batch = transform(batch)
             if k == 0 or input_type is InputType.LISTWISE:
                 return batch
-            negs = sample_negatives(rng, batch[uid_f], hist, hlen, n_items, k,
-                                    rounds=rounds, pop_items=pop)
+            if repeatable:
+                negs = sample_negatives_unchecked(
+                    rng, (batch[uid_f].shape[0], k), n_items, pop_items=pop)
+            else:
+                negs = sample_negatives(rng, batch[uid_f], hist, hlen, n_items, k,
+                                        rounds=rounds, pop_items=pop)
             if input_type is InputType.PAIRWISE:
                 if k == 1:
                     out = dict(batch)
@@ -373,42 +383,50 @@ class Trainer:
         model = self.model
         uid_f = self.config["USER_ID_FIELD"]
         iid_f = self.config["ITEM_ID_FIELD"]
-        hist, hlen = eval_data.phase_history.device_tables(eval_data.mask_phase)
+        mask_history = getattr(eval_data, "mask_history", True)
+        if mask_history:
+            hist, hlen = eval_data.phase_history.device_tables(eval_data.mask_phase)
         n_items = eval_data.n_items
+        transform = getattr(eval_data, "device_transform", None)
 
         from ..models.base import AbstractRecommender
         has_full_sort = (type(model).full_sort_predict
                          is not AbstractRecommender.full_sort_predict)
 
-        def all_item_scores(params, user_id):
+        def all_item_scores(params, batch):
             if has_full_sort:
-                return model.full_sort_predict(params, {uid_f: user_id})
-            # fallback: chunked predict over the item axis (parity:
+                return model.full_sort_predict(params, batch)
+            # fallback: chunked score_items over the item axis (parity:
             # reference _spilt_predict, trainer.py:333-340,414-428)
-            B = user_id.shape[0]
+            B = batch[uid_f].shape[0]
             chunk = min(2048, n_items)
             n_chunks = -(-n_items // chunk)
             items = jnp.arange(n_chunks * chunk, dtype=jnp.int32) % n_items
             items = items.reshape(n_chunks, chunk)
 
             def score_chunk(item_chunk):
-                b = {uid_f: jnp.repeat(user_id, chunk),
-                     iid_f: jnp.tile(item_chunk, B)}
-                return model.predict(params, b).reshape(B, chunk)
+                cand = jnp.broadcast_to(item_chunk[None, :], (B, chunk))
+                return model.score_items(params, batch, cand)
 
             scores = jax.lax.map(score_chunk, items)          # (n_chunks, B, chunk)
             return scores.transpose(1, 0, 2).reshape(B, -1)[:, :n_items]
 
         @jax.jit
-        def eval_step(params, user_id, pos_items, pos_len, mask):
+        def eval_step(params, batch):
+            pos_items = batch.pop("pos_items")
+            pos_len = batch.pop("pos_len")
+            mask = batch.pop("_mask")
+            if transform is not None:
+                batch = transform(batch)
+            user_id = batch[uid_f]
             B = user_id.shape[0]
-            scores = all_item_scores(params, user_id)
-            scores = scores.astype(jnp.float32)
+            scores = all_item_scores(params, batch).astype(jnp.float32)
             scores = scores.at[:, 0].set(NEG_INF)  # [PAD] column
             rows = jnp.arange(B)[:, None]
-            uh = hist[user_id]
-            hvalid = jnp.arange(uh.shape[1])[None, :] < hlen[user_id][:, None]
-            scores = scores.at[rows, uh].add(jnp.where(hvalid, NEG_INF, 0.0))
+            if mask_history:
+                uh = hist[user_id]
+                hvalid = jnp.arange(uh.shape[1])[None, :] < hlen[user_id][:, None]
+                scores = scores.at[rows, uh].add(jnp.where(hvalid, NEG_INF, 0.0))
             _, topk_idx = jax.lax.top_k(scores, max_k)
             pos_matrix = jnp.zeros((B, n_items), jnp.int32) \
                 .at[rows, pos_items].max((jnp.arange(pos_items.shape[1])[None, :]
@@ -422,30 +440,38 @@ class Trainer:
         model = self.model
         cfg = self.config
         uid_f = cfg["USER_ID_FIELD"]
-        iid_f = cfg["ITEM_ID_FIELD"]
         hist, hlen = eval_data.phase_history.device_tables(eval_data.sample_phase)
         n_items = eval_data.n_items
         P = eval_data.max_pos
         k = eval_data.neg_k
         rounds = cfg["neg_sampling_resample_rounds"]
+        repeatable = getattr(eval_data, "repeatable_sampling", False)
+        transform = getattr(eval_data, "device_transform", None)
         pop = None
         if eval_data.distribution == "popularity":
             pop = jnp.asarray(
                 eval_data.phase_history.pop_items[eval_data.sample_phase])
 
         @jax.jit
-        def eval_step(params, rng, user_id, pos_items, pos_len, mask):
+        def eval_step(params, rng, batch):
+            pos_items = batch.pop("pos_items")
+            pos_len = batch.pop("pos_len")
+            mask = batch.pop("_mask")
+            if transform is not None:
+                batch = transform(batch)
+            user_id = batch[uid_f]
             B = user_id.shape[0]
-            negs = sample_negatives(rng, user_id, hist, hlen, n_items, P * k,
-                                    rounds=rounds, pop_items=pop)
+            if repeatable:
+                negs = sample_negatives_unchecked(rng, (B, P * k), n_items,
+                                                  pop_items=pop)
+            else:
+                negs = sample_negatives(rng, user_id, hist, hlen, n_items, P * k,
+                                        rounds=rounds, pop_items=pop)
             cand = jnp.concatenate([pos_items, negs], axis=1)       # (B, C)
-            C = cand.shape[1]
             pos_valid = jnp.arange(P)[None, :] < pos_len[:, None]
             neg_valid = jnp.arange(P * k)[None, :] < (pos_len * k)[:, None]
             cand_valid = jnp.concatenate([pos_valid, neg_valid], axis=1)
-            flat_batch = {uid_f: jnp.repeat(user_id, C),
-                          iid_f: cand.reshape(-1)}
-            scores = model.predict(params, flat_batch).reshape(B, C)
+            scores = model.score_items(params, batch, cand)
             scores = jnp.where(cand_valid, scores.astype(jnp.float32), NEG_INF)
             _, topk_idx = jax.lax.top_k(scores, max_k)
             # positives sit in the first pos_len slots — rank membership is a
@@ -467,9 +493,10 @@ class Trainer:
         metrics = tuple(collector.metrics)
         max_k = collector.max_k
 
+        sampled = hasattr(eval_data, "neg_k")
         key = (id(eval_data), metrics, max_k, type(eval_data).__name__)
         if key not in self._eval_step_cache:
-            if isinstance(eval_data, SampledEvalLoader):
+            if sampled:
                 self._eval_step_cache[key] = self._make_sampled_eval_step(
                     eval_data, metrics, max_k)
             else:
@@ -477,15 +504,13 @@ class Trainer:
                     eval_data, metrics, max_k)
         step = self._eval_step_cache[key]
 
-        sampled = isinstance(eval_data, SampledEvalLoader)
         for batch in eval_data:
-            args = [jnp.asarray(batch["user_id"]), jnp.asarray(batch["pos_items"]),
-                    jnp.asarray(batch["pos_len"]), jnp.asarray(batch["_mask"])]
+            batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
             if sampled:
                 self.rng, ek = jax.random.split(self.rng)
-                sums = step(self.params, ek, *args)
+                sums = step(self.params, ek, batch)
             else:
-                sums = step(self.params, *args)
+                sums = step(self.params, batch)
             collector.collect({k2: np.asarray(v) for k2, v in sums.items()})
         return collector.evaluate()
 

@@ -1,0 +1,60 @@
+"""Sequential pipeline tests: dataset augmentation semantics + model smoke."""
+
+import numpy as np
+import pytest
+
+from recbole_tpu import objective_function
+from recbole_tpu.config.configurator import Config
+from recbole_tpu.config.eval_setting import EvalSetting
+from recbole_tpu.data.seq_dataset import SequentialDataset
+from tests.test_dataset import write_ds
+
+
+def test_seq_split_semantics(tmp_path):
+    rows = [f"u1\ti{j}\t5\t{j}" for j in range(1, 6)] + ["u2\ti1\t5\t1", "u2\ti2\t5\t2"]
+    root = write_ds(str(tmp_path), "ds", rows)
+    cfg = Config("GRU4Rec", "ds", config_dict={
+        "data_path": root, "state": "ERROR",
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+    }, _parse_cmd_line=False)
+    ds = SequentialDataset(cfg)
+    train, valid, test = ds.build(EvalSetting(cfg))
+    # u1 (5 items -> 4 examples): 2 train, 1 valid, 1 test
+    # u2 (2 items -> 1 example): all train
+    assert len(train) == 3 and len(valid) == 1 and len(test) == 1
+    # test target is u1's LAST item (i5)
+    assert ds.id2token("item_id", test.target)[0] == "i5"
+    assert ds.id2token("item_id", valid.target)[0] == "i4"
+    # test example's window covers i1..i4
+    s, l = int(test.start[0]), int(test.length[0])
+    window = ds.id2token("item_id", ds.item_stream[s:s + l])
+    assert list(window) == ["i1", "i2", "i3", "i4"]
+
+
+@pytest.mark.parametrize("model", ["GRU4Rec", "SASRec"])
+def test_sequential_model_smoke(model, synth_dataset_dir, tmp_path):
+    result = objective_function(
+        config_dict={"model": model, "dataset": "synth",
+                     "data_path": synth_dataset_dir,
+                     "checkpoint_dir": str(tmp_path / "saved"),
+                     "log_dir": str(tmp_path / "log"),
+                     "epochs": 1, "train_batch_size": 256,
+                     "state": "ERROR", "scan_epochs": False,
+                     "MAX_ITEM_LIST_LENGTH": 20},
+        saved=False)
+    tr = result["test_result"]
+    assert tr and all(0.0 <= v <= 1.0 for v in tr.values())
+
+
+def test_sasrec_bpr_loss_smoke(synth_dataset_dir, tmp_path):
+    result = objective_function(
+        config_dict={"model": "SASRec", "dataset": "synth",
+                     "data_path": synth_dataset_dir,
+                     "checkpoint_dir": str(tmp_path / "saved"),
+                     "log_dir": str(tmp_path / "log"),
+                     "epochs": 1, "train_batch_size": 256,
+                     "loss_type": "BPR", "training_neg_sample_num": 1,
+                     "state": "ERROR", "scan_epochs": False,
+                     "MAX_ITEM_LIST_LENGTH": 20},
+        saved=False)
+    assert result["test_result"]
