@@ -209,6 +209,38 @@ class SequentialSampledEvalLoader(SequentialEvalLoader):
         return 1 + self.neg_k
 
 
+class RowEvalLoader:
+    """Plain row batches for INDIVIDUAL (value-metric) evaluation: AUC/LogLoss/
+    MAE/RMSE over (label, prediction) pairs (parity: reference LossEvaluator
+    path, evaluators.py:289-367 — CTR protocols are ungrouped, no sampling)."""
+
+    def __init__(self, config, dataset, batch_size=None):
+        self.config = config
+        self.dataset = dataset
+        self.batch_size = batch_size or config["eval_batch_size"]
+        self.fields = {f: np.asarray(v) for f, v in dataset.inter_feat.items()
+                       if v.dtype != object}
+        self.n = len(dataset)
+
+    def __len__(self):
+        return (self.n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        B = self.batch_size
+        for start in range(0, self.n, B):
+            sl = slice(start, min(start + B, self.n))
+            cnt = sl.stop - sl.start
+            pad = B - cnt
+            batch = {}
+            for f, col in self.fields.items():
+                out = np.zeros((B,) + col.shape[1:], dtype=col.dtype)
+                out[:cnt] = col[sl]
+                batch[f] = out
+            batch["_mask"] = np.concatenate([np.ones(cnt, np.float32),
+                                             np.zeros(pad, np.float32)])
+            yield batch
+
+
 class UserTrainLoader:
     """Batches of bare user ids for autoencoder models (MultiVAE family).
 

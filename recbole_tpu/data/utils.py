@@ -90,6 +90,10 @@ def data_preparation(config, dataset, save=False):
 
 
 def _make_eval_loader(config, split_ds, full_ds, neg_args, sequential=False):
+    from ..utils.enums import EvaluatorType
+    if config["eval_type"] is EvaluatorType.INDIVIDUAL:
+        from .loaders import RowEvalLoader
+        return RowEvalLoader(config, split_ds)
     if sequential:
         from .loaders import SequentialEvalLoader, SequentialSampledEvalLoader
         if neg_args["strategy"] == "full":

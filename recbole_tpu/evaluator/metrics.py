@@ -103,7 +103,7 @@ def rmse_(trues, preds):
 
 
 def log_loss_(trues, preds):
-    eps = 1e-15
+    eps = 1e-7  # float32-safe (1 - 1e-15 rounds to 1.0 in f32 -> nan)
     p = jnp.clip(preds, eps, 1.0 - eps)
     return -jnp.mean(trues * jnp.log(p) + (1.0 - trues) * jnp.log(1.0 - p))
 

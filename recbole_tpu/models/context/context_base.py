@@ -1,0 +1,176 @@
+"""ContextRecommender: the CTR field-embedding machine.
+
+Parity target: reference ContextRecommender
+(recbole/model/abstract_recommender.py:151-412) + FMEmbedding/FMFirstOrderLinear
+(layers.py:121, 905): all loaded fields become model inputs — token fields share
+ONE embedding table via per-field offsets, float fields get a per-field
+embedding scaled by the value, token_seq fields mean-pool member embeddings;
+a parallel first-order linear term sums per-token biases and float weights.
+
+TPU re-design: user/item side features are NOT joined into batches on the host
+(the reference joins pandas frames per batch). The aligned side tables are
+device-resident constants; forward gathers them by uid/iid. Batches stay
+(B,)-shaped regardless of feature count.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base import AbstractRecommender
+from ..layers import xavier_normal
+from ...utils.enums import ModelType, InputType, FeatureType, FeatureSource
+
+
+class ContextRecommender(AbstractRecommender):
+    type = ModelType.CONTEXT
+    input_type = InputType.POINTWISE
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.USER_ID = config["USER_ID_FIELD"]
+        self.ITEM_ID = config["ITEM_ID_FIELD"]
+        self.LABEL = config["LABEL_FIELD"]
+        self.embedding_size = config["embedding_size"]
+        self.n_users = dataset.user_num
+        self.n_items = dataset.item_num
+
+        # enumerate usable fields in schema order
+        self.token_fields = []     # (field, vocab, fetch)
+        self.float_fields = []     # (field, fetch)
+        self.token_seq_fields = []  # (field, vocab, table (n, L), lens)
+        skip = {self.LABEL, config["TIME_FIELD"]}
+        for field, ftype in dataset.field2type.items():
+            if field in skip or field not in self._available_fields(dataset):
+                continue
+            src = dataset.field2source[field]
+            fetch = self._make_fetch(dataset, field, src)
+            if fetch is None:
+                continue
+            if ftype is FeatureType.TOKEN:
+                self.token_fields.append((field, dataset.num(field), fetch))
+            elif ftype is FeatureType.FLOAT:
+                self.float_fields.append((field, fetch))
+            elif ftype is FeatureType.TOKEN_SEQ:
+                self.token_seq_fields.append(
+                    (field, dataset.num(field), fetch))
+
+        # unified token vocabulary offsets (parity: FMEmbedding offset trick)
+        self.token_offsets = []
+        total = 0
+        for _, vocab, _ in self.token_fields:
+            self.token_offsets.append(total)
+            total += vocab
+        self.token_vocab_total = total
+
+        self.seq_offsets = []
+        seq_total = 0
+        for _, vocab, _ in self.token_seq_fields:
+            self.seq_offsets.append(seq_total)
+            seq_total += vocab
+        self.seq_vocab_total = seq_total
+
+        self.num_fields = (len(self.token_fields) + len(self.float_fields)
+                           + len(self.token_seq_fields))
+
+    def _available_fields(self, dataset):
+        fields = set(dataset.inter_feat.keys())
+        if dataset.user_feat is not None:
+            fields |= set(dataset.user_feat.keys())
+        if dataset.item_feat is not None:
+            fields |= set(dataset.item_feat.keys())
+        return fields
+
+    def _make_fetch(self, dataset, field, src):
+        """Build a device fetch: batch -> (B,) value (token/float) or
+        (B, L) ids + (B,) lens (token_seq)."""
+        ftype = dataset.field2type[field]
+        if src in (FeatureSource.INTERACTION, FeatureSource.USER_ID,
+                   FeatureSource.ITEM_ID):
+            if ftype is FeatureType.TOKEN_SEQ:
+                return None  # seq fields in .inter not yet supported
+            return lambda batch, f=field: batch[f]
+
+        if src is FeatureSource.USER:
+            table = dataset.user_feat
+            key = self.USER_ID
+        elif src is FeatureSource.ITEM:
+            table = dataset.item_feat
+            key = self.ITEM_ID
+        else:
+            return None
+        col = table[field]
+        if ftype is FeatureType.TOKEN_SEQ:
+            lens = np.array([len(s) for s in col], np.int32)
+            L = max(int(lens.max()), 1)
+            padded = np.zeros((len(col), L), np.int32)
+            for r, s in enumerate(col):
+                padded[r, :len(s)] = s
+            dpad = jnp.asarray(padded)
+            dlen = jnp.asarray(lens)
+            return lambda batch, k=key: (dpad[batch[k]], dlen[batch[k]])
+        dcol = jnp.asarray(col.astype(np.float32) if ftype is FeatureType.FLOAT
+                           else col.astype(np.int32))
+        return lambda batch, k=key: dcol[batch[k]]
+
+    # ---------------------------------------------------------------- params
+
+    def init_context_params(self, rng):
+        ks = jax.random.split(rng, 6)
+        params = {}
+        if self.token_vocab_total:
+            params["token_embedding"] = xavier_normal(
+                ks[0], (self.token_vocab_total, self.embedding_size))
+            params["token_bias"] = jnp.zeros((self.token_vocab_total,))
+        if self.float_fields:
+            params["float_embedding"] = xavier_normal(
+                ks[1], (len(self.float_fields), self.embedding_size))
+            params["float_weight"] = jnp.zeros((len(self.float_fields),))
+        if self.seq_vocab_total:
+            params["seq_embedding"] = xavier_normal(
+                ks[2], (self.seq_vocab_total, self.embedding_size))
+            params["seq_bias"] = jnp.zeros((self.seq_vocab_total,))
+        params["first_order_bias"] = jnp.zeros(())
+        return params
+
+    # --------------------------------------------------------------- forward
+
+    def embed_input(self, params, batch):
+        """(B, num_fields, D) second-order embeddings."""
+        parts = []
+        for (field, vocab, fetch), off in zip(self.token_fields,
+                                              self.token_offsets):
+            ids = fetch(batch) + off
+            parts.append(params["token_embedding"][ids][:, None, :])
+        for j, (field, fetch) in enumerate(self.float_fields):
+            val = fetch(batch).astype(jnp.float32)
+            parts.append((params["float_embedding"][j][None, :]
+                          * val[:, None])[:, None, :])
+        for (field, vocab, fetch), off in zip(self.token_seq_fields,
+                                              self.seq_offsets):
+            ids, lens = fetch(batch)
+            emb = params["seq_embedding"][ids + off]           # (B, L, D)
+            valid = (jnp.arange(ids.shape[1])[None, :]
+                     < lens[:, None]).astype(jnp.float32)
+            pooled = jnp.sum(emb * valid[:, :, None], axis=1) \
+                / jnp.maximum(lens[:, None], 1)
+            parts.append(pooled[:, None, :])
+        return jnp.concatenate(parts, axis=1)
+
+    def first_order(self, params, batch):
+        """(B,) linear term (parity: FMFirstOrderLinear, layers.py:905)."""
+        total = jnp.zeros(batch[self.USER_ID].shape[0]) + params["first_order_bias"]
+        for (field, vocab, fetch), off in zip(self.token_fields,
+                                              self.token_offsets):
+            total = total + params["token_bias"][fetch(batch) + off]
+        for j, (field, fetch) in enumerate(self.float_fields):
+            total = total + params["float_weight"][j] * \
+                fetch(batch).astype(jnp.float32)
+        for (field, vocab, fetch), off in zip(self.token_seq_fields,
+                                              self.seq_offsets):
+            ids, lens = fetch(batch)
+            b = params["seq_bias"][ids + off]
+            valid = (jnp.arange(ids.shape[1])[None, :]
+                     < lens[:, None]).astype(jnp.float32)
+            total = total + jnp.sum(b * valid, axis=1)
+        return total

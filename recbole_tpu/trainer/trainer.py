@@ -482,12 +482,31 @@ class Trainer:
 
         return eval_step
 
+    def _evaluate_individual(self, eval_data):
+        """Value-metric path: predictions vs labels over plain rows (parity:
+        reference LossEvaluator, evaluators.py:289-367)."""
+        model = self.model
+        label_f = self.config["LABEL_FIELD"]
+        predict = jax.jit(lambda p, b: model.predict(p, b))
+        collector = ValueCollector(self.config)
+        for batch in eval_data:
+            mask = batch.pop("_mask")
+            labels = batch[label_f]
+            jbatch = {k2: jnp.asarray(v) for k2, v in batch.items()}
+            preds = np.asarray(predict(self.params, jbatch))
+            collector.collect(labels, preds, mask)
+        return collector.evaluate()
+
     def evaluate(self, eval_data, load_best_model=True, model_file=None,
                  show_progress=False):
         if load_best_model:
             self.load_params(model_file or self.saved_model_file)
         if self.params is None:
             raise RuntimeError("no parameters — call fit() or load a checkpoint")
+
+        from ..data.loaders import RowEvalLoader
+        if isinstance(eval_data, RowEvalLoader):
+            return self._evaluate_individual(eval_data)
 
         collector = TopKCollector(self.config)
         metrics = tuple(collector.metrics)
