@@ -1,0 +1,60 @@
+"""AFM: attentional factorization machine.
+
+Parity target: reference AFM (recbole/model/context_aware_recommender/afm.py)
+— attention over all field pairs' element-wise products, weighted sum
+projected to a scalar, plus the linear term; L2 on the attention weights.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import xavier_normal
+from ..losses import bce_loss
+from .. import register_model
+from .context_base import ContextRecommender
+
+
+@register_model("AFM")
+class AFM(ContextRecommender):
+    default_config = {"embedding_size": 10, "attention_size": 25,
+                      "dropout_prob": 0.3, "reg_weight": 2}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.attention_size = config["attention_size"]
+        self.dropout_prob = config["dropout_prob"]
+        self.reg_weight = config["reg_weight"]
+        F = self.num_fields
+        ii, jj = jnp.triu_indices(F, k=1)
+        self.pair_i, self.pair_j = ii, jj
+
+    def init_params(self, rng):
+        kc, ka, kh, kp = jax.random.split(rng, 4)
+        params = self.init_context_params(kc)
+        params["attn_w"] = xavier_normal(ka, (self.embedding_size,
+                                              self.attention_size))
+        params["attn_b"] = jnp.zeros(self.attention_size)
+        params["attn_h"] = xavier_normal(kh, (self.attention_size,))
+        params["p"] = xavier_normal(kp, (self.embedding_size,))
+        return params
+
+    def _logits(self, params, batch, rng=None):
+        emb = self.embed_input(params, batch)                  # (B, F, D)
+        pairs = emb[:, self.pair_i, :] * emb[:, self.pair_j, :]  # (B, P, D)
+        att = jnp.tanh(jnp.dot(pairs, params["attn_w"],
+                               preferred_element_type=jnp.float32)
+                       + params["attn_b"])
+        scores = jax.nn.softmax(
+            jnp.dot(att, params["attn_h"],
+                    preferred_element_type=jnp.float32), axis=1)  # (B, P)
+        pooled = jnp.sum(pairs * scores[:, :, None], axis=1)    # (B, D)
+        inter = jnp.dot(pooled, params["p"], preferred_element_type=jnp.float32)
+        return self.first_order(params, batch) + inter
+
+    def calculate_loss(self, params, batch, rng=None):
+        loss = bce_loss(self._logits(params, batch, rng), batch[self.LABEL],
+                        batch.get("_weight"))
+        return loss + self.reg_weight * jnp.sum(params["attn_w"] ** 2)
+
+    def predict(self, params, batch):
+        return jax.nn.sigmoid(self._logits(params, batch))

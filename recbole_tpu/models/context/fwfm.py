@@ -1,0 +1,42 @@
+"""FwFM: field-weighted factorization machine.
+
+Parity target: reference FwFM (recbole/model/context_aware_recommender/fwfm.py)
+— FM pairwise interactions with a learned scalar weight per FIELD PAIR.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import bce_loss
+from .. import register_model
+from .context_base import ContextRecommender
+
+
+@register_model("FwFM")
+class FwFM(ContextRecommender):
+    default_config = {"embedding_size": 10, "dropout_prob": 0.0, "fields": None}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        F = self.num_fields
+        ii, jj = jnp.triu_indices(F, k=1)
+        self.pair_i, self.pair_j = ii, jj
+
+    def init_params(self, rng):
+        params = self.init_context_params(rng)
+        params["pair_weight"] = jnp.zeros(len(self.pair_i))
+        return params
+
+    def _logits(self, params, batch, rng=None):
+        emb = self.embed_input(params, batch)
+        inner = jnp.sum(emb[:, self.pair_i, :] * emb[:, self.pair_j, :], -1)
+        inter = jnp.dot(inner, params["pair_weight"],
+                        preferred_element_type=jnp.float32)
+        return self.first_order(params, batch) + inter
+
+    def calculate_loss(self, params, batch, rng=None):
+        return bce_loss(self._logits(params, batch, rng), batch[self.LABEL],
+                        batch.get("_weight"))
+
+    def predict(self, params, batch):
+        return jax.nn.sigmoid(self._logits(params, batch))

@@ -1,0 +1,107 @@
+"""xDeepFM: Compressed Interaction Network + deep tower + linear.
+
+Parity target: reference xDeepFM
+(recbole/model/context_aware_recommender/xdeepfm.py) — CIN layers compute
+outer-product feature maps compressed by 1x1 convs (here: einsum + matmul,
+which is exactly what a 1x1 conv is on the MXU); direct/split variants;
+L2 reg on parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import mlp_init, mlp_apply, xavier_normal
+from ..losses import bce_loss
+from .. import register_model
+from .context_base import ContextRecommender
+
+
+@register_model("xDeepFM")
+class XDeepFM(ContextRecommender):
+    default_config = {"embedding_size": 10, "mlp_hidden_size": [128, 128, 128],
+                      "reg_weight": 5e-4, "dropout_prob": 0.2, "direct": False,
+                      "cin_layer_size": [100, 100, 100]}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.mlp_hidden = list(config["mlp_hidden_size"])
+        self.reg_weight = config["reg_weight"]
+        self.dropout_prob = config["dropout_prob"]
+        self.direct = config["direct"]
+        self.cin_sizes = list(config["cin_layer_size"])
+        if not self.direct:
+            # halved maps feed the next layer; odd sizes are rounded down
+            # (parity with the reference's split behavior)
+            self.cin_sizes = [s // 2 * 2 for s in self.cin_sizes]
+
+    def init_params(self, rng):
+        ks = jax.random.split(rng, 4 + len(self.cin_sizes))
+        params = self.init_context_params(ks[0])
+        in_dim = self.num_fields * self.embedding_size
+        params["mlp"] = mlp_init(ks[1], [in_dim] + self.mlp_hidden,
+                                 "xavier_normal")
+        params["mlp_out_w"] = xavier_normal(ks[2], (self.mlp_hidden[-1], 1))
+        params["cin"] = []
+        prev = self.num_fields
+        final_maps = 0
+        for li, size in enumerate(self.cin_sizes):
+            params["cin"].append(
+                xavier_normal(ks[3 + li], (self.num_fields * prev, size)))
+            if self.direct:
+                final_maps += size
+                prev = size
+            else:
+                final_maps += size // 2 if li < len(self.cin_sizes) - 1 else size
+                prev = size // 2 if li < len(self.cin_sizes) - 1 else size
+        params["cin_out_w"] = xavier_normal(ks[-1], (final_maps, 1))
+        params["out_b"] = jnp.zeros(1)
+        return params
+
+    def _cin(self, params, x0):
+        """x0: (B, F, D). Returns (B, sum_maps) pooled CIN features."""
+        B, F, D = x0.shape
+        x = x0
+        outs = []
+        for li, w in enumerate(params["cin"]):
+            # outer product along the field axes: (B, F*Hl, D)
+            z = jnp.einsum("bhd,bfd->bhfd", x, x0,
+                           preferred_element_type=jnp.float32)
+            z = z.reshape(B, -1, D)
+            # 1x1 conv over the map axis == matmul on the MXU
+            h = jnp.einsum("bmd,mn->bnd", z, w,
+                           preferred_element_type=jnp.float32)
+            h = jax.nn.relu(h)
+            if self.direct:
+                outs.append(h)
+                x = h
+            else:
+                if li < len(params["cin"]) - 1:
+                    half = h.shape[1] // 2
+                    x, keep = h[:, :half], h[:, half:]
+                else:
+                    keep = h
+                    x = h
+                outs.append(keep)
+        pooled = jnp.concatenate([o.sum(-1) for o in outs], axis=1)
+        return pooled
+
+    def _logits(self, params, batch, rng=None):
+        emb = self.embed_input(params, batch)
+        B = emb.shape[0]
+        linear = self.first_order(params, batch)
+        cin = jnp.dot(self._cin(params, emb), params["cin_out_w"],
+                      preferred_element_type=jnp.float32)[:, 0]
+        h = mlp_apply(params["mlp"], emb.reshape(B, -1), act="relu",
+                      dropout=self.dropout_prob, rng=rng)
+        deep = jnp.dot(h, params["mlp_out_w"],
+                       preferred_element_type=jnp.float32)[:, 0]
+        return linear + cin + deep + params["out_b"][0]
+
+    def calculate_loss(self, params, batch, rng=None):
+        loss = bce_loss(self._logits(params, batch, rng), batch[self.LABEL],
+                        batch.get("_weight"))
+        reg = sum(jnp.sum(w ** 2) for w in params["cin"])
+        return loss + self.reg_weight * reg
+
+    def predict(self, params, batch):
+        return jax.nn.sigmoid(self._logits(params, batch))

@@ -15,7 +15,7 @@ CTR_BASE = {
 }
 
 
-@pytest.mark.parametrize("model", ["LR", "FM", "DeepFM"])
+@pytest.mark.parametrize("model", ["LR", "FM", "DeepFM", "WideDeep", "DCN", "xDeepFM", "AutoInt", "NFM", "FNN", "AFM", "PNN", "FwFM", "FFM", "DSSM"])
 def test_ctr_model_smoke(model, synth_dataset_dir, tmp_path):
     result = objective_function(
         config_dict={"model": model, "data_path": synth_dataset_dir,
