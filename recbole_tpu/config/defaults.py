@@ -44,6 +44,10 @@ TRAINING_DEFAULTS = {
     "scan_epochs": True,
     "scan_epochs_max_bytes": 2 << 30,
     "profile_trace_dir": None,          # jax.profiler trace output (fork: torch profiler)
+    # KG trainer loop policies (parity: KGTrainer/MKRTrainer config keys)
+    "train_rec_step": None,
+    "train_kg_step": None,
+    "kge_interval": 3,
 }
 
 EVALUATION_DEFAULTS = {

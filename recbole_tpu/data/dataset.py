@@ -617,7 +617,7 @@ class Dataset:
     def copy(self, new_inter_feat):
         """Shallow copy sharing schema/side-tables, new interactions
         (parity: dataset.py:1218)."""
-        new = Dataset.__new__(Dataset)
+        new = type(self).__new__(type(self))
         new.__dict__.update(self.__dict__)
         new.inter_feat = new_inter_feat
         return new

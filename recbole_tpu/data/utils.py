@@ -64,6 +64,18 @@ def data_preparation(config, dataset, save=False):
         train_loader = TrainLoader(config, train_ds)
     _attach(train_loader, dataset, train_ds, phase_history, "train", "train")
 
+    if getattr(dataset, "kg_feat", None) is not None:
+        from .dataset import build_history_matrix
+        h, r, t = dataset.kg_arrays()
+        train_loader.kg_columns = {
+            config["HEAD_ENTITY_ID_FIELD"]: h,
+            config["RELATION_ID_FIELD"]: r,
+            config["TAIL_ENTITY_ID_FIELD"]: t,
+        }
+        train_loader.kg_head_history = build_history_matrix(
+            h, t, dataset.entity_num)
+        train_loader.n_entities = dataset.entity_num
+
     neg = es.neg_sample_args
     valid_neg = dict(neg)
     if neg["strategy"] == "full" and config["valid_full_to_uni1000"] \

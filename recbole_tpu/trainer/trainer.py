@@ -65,6 +65,8 @@ def build_optimizer(config):
 
 
 class Trainer:
+    default_train_mode = "rs"
+
     def __init__(self, config, model):
         self.config = config
         self.model = model
@@ -86,10 +88,7 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self.train_loss_dict = {}
-        self._train_step_fn = None
-        self._epoch_fn = None
-        self._epoch_steps = 0
-        self._device_columns = None
+        self._modes = {}
         self._eval_step_cache = {}
 
         # optional multi-chip sharding (no reference equivalent; SURVEY.md §2.10)
@@ -105,7 +104,42 @@ class Trainer:
 
     # ------------------------------------------------------------- train step
 
-    def _make_train_step(self, train_data):
+    def _make_kg_augment(self, train_data, include_rec):
+        """KG-stream batch shaping: sample 1 negative tail per triple,
+        excluding the head's known tails (parity: KGSampler, sampler.py:268-338).
+        When include_rec, kg fields are ADDED onto a rec batch (RSKG zip mode,
+        knowledge_dataloader.py:183-190 — we draw random kg rows instead of
+        restarting a shuffled stream; same distribution over an epoch)."""
+        cfg = self.config
+        head_f = cfg["HEAD_ENTITY_ID_FIELD"]
+        rel_f = cfg["RELATION_ID_FIELD"]
+        tail_f = cfg["TAIL_ENTITY_ID_FIELD"]
+        neg_tail_f = cfg["NEG_PREFIX"] + tail_f
+        rounds = cfg["neg_sampling_resample_rounds"]
+        kg_cols = {f: jnp.asarray(v) for f, v in train_data.kg_columns.items()}
+        head_hist = jnp.asarray(train_data.kg_head_history[0])
+        head_hlen = jnp.asarray(train_data.kg_head_history[1])
+        n_entities = train_data.n_entities
+        n_kg = int(train_data.kg_columns[head_f].shape[0])
+
+        def kg_augment(batch, rng):
+            rng, kidx, kneg = jax.random.split(rng, 3)
+            if include_rec:
+                B = batch["_weight"].shape[0]
+                idx = jax.random.randint(kidx, (B,), 0, n_kg, dtype=jnp.int32)
+                out = dict(batch)
+                for f, col in kg_cols.items():
+                    out[f] = col[idx]
+            else:
+                out = dict(batch)
+            negs = sample_negatives(kneg, out[head_f], head_hist, head_hlen,
+                                    n_entities, 1, rounds=rounds)
+            out[neg_tail_f] = negs[:, 0]
+            return out
+
+        return kg_augment
+
+    def _make_rec_augment(self, train_data):
         model = self.model
         cfg = self.config
         neg_args = cfg["train_neg_sample_args"]
@@ -168,12 +202,15 @@ class Trainer:
                 out[label_f] = jnp.concatenate([pos_label, jnp.zeros(B * k)])
             return out
 
+        return augment
+
+    def _make_step_core(self, augment, loss_method):
         def step_core(params, opt_state, rng, batch):
             rng, k_neg, k_loss = jax.random.split(rng, 3)
             batch = augment(batch, k_neg)
 
             def loss_fn(p):
-                out = model.calculate_loss(p, batch, k_loss)
+                out = loss_method(p, batch, k_loss)
                 if isinstance(out, tuple):
                     return sum(out), jnp.stack(out)
                 return out, jnp.stack([out])
@@ -183,25 +220,19 @@ class Trainer:
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, rng, loss, parts
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, rng, batch):
-            return step_core(params, opt_state, rng, batch)
+        return step_core
 
-        self._step_core = step_core
-        return train_step
-
-    def _make_epoch_fn(self, train_data):
+    def _make_epoch_fn(self, step_core, loader):
         """Whole-epoch device program: on-device shuffle + lax.scan over fixed
         batches. The training table is uploaded once and stays HBM-resident;
         the host issues ONE dispatch per epoch (the per-step dispatch latency
         of a remote/tunneled accelerator would otherwise dominate small
         models)."""
-        step_core = self._step_core
-        B = train_data.batch_size
-        N = train_data.n
+        B = loader.batch_size
+        N = loader.n
         steps = -(-N // B)
         Npad = steps * B
-        shuffle = getattr(train_data, "shuffle", True)
+        shuffle = getattr(loader, "shuffle", True)
 
         @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
         def epoch_fn(params, opt_state, rng, step0, data):
@@ -229,22 +260,74 @@ class Trainer:
 
         return epoch_fn, steps
 
-    def _train_epoch(self, train_data, epoch_idx):
+    def _build_mode(self, train_data, mode="rs"):
+        """Build the jitted step (and scan program when the table fits HBM)
+        for one training mode:
+          rs   — rec batches, calculate_loss
+          kg   — kg-triple batches + neg tails, calculate_kg_loss
+          rskg — rec batches with kg fields zipped in, calculate_loss
+        (parity: KGDataLoaderState, enum_type.py:45-55). Modes are the
+        loop-policy mechanism behind the reference's trainer subclasses."""
+        if mode in self._modes:
+            return self._modes[mode]
+        model = self.model
+        if mode == "rs":
+            loader = train_data
+            augment = self._make_rec_augment(train_data)
+            loss_method = model.calculate_loss
+        elif mode == "kg":
+            from ..data.loaders import ArrayTrainLoader
+            loader = ArrayTrainLoader(self.config, train_data.kg_columns)
+            augment = self._make_kg_augment(train_data, include_rec=False)
+            loss_method = model.calculate_kg_loss
+        elif mode == "rskg":
+            loader = train_data
+            rec_aug = self._make_rec_augment(train_data)
+            kg_aug = self._make_kg_augment(train_data, include_rec=True)
+
+            def augment(batch, rng):
+                r1, r2 = jax.random.split(rng)
+                return kg_aug(rec_aug(batch, r1), r2)
+            loss_method = model.calculate_loss
+        elif mode == "rs_only_loss":
+            loader = train_data
+            augment = self._make_rec_augment(train_data)
+            loss_method = model.calculate_rs_loss
+        else:
+            raise ValueError(f"unknown train mode {mode!r}")
+
+        step_core = self._make_step_core(augment, loss_method)
+        train_step = jax.jit(step_core, donate_argnums=(0, 1))
+        bundle = {"step": train_step, "loader": loader,
+                  "epoch_fn": None, "steps": 0, "columns": None}
+        if (self.config["scan_epochs"] and self.plan is None
+                and hasattr(loader, "columns")):
+            cols = loader.columns()
+            nbytes = sum(v.nbytes for v in cols.values())
+            if nbytes <= (self.config["scan_epochs_max_bytes"] or 2 << 30):
+                bundle["columns"] = {f: jnp.asarray(v) for f, v in cols.items()}
+                bundle["epoch_fn"], bundle["steps"] = \
+                    self._make_epoch_fn(step_core, loader)
+        self._modes[mode] = bundle
+        return bundle
+
+    def _train_epoch(self, train_data, epoch_idx, mode="rs"):
         """One epoch. Loss parts stay ON DEVICE until epoch end so the host
         never blocks the async dispatch pipeline; the NaN check (parity:
         reference trainer.py:234-236) runs once per epoch on the total."""
-        if self._epoch_fn is not None:
-            self.params, self.opt_state, self.rng, _, parts = self._epoch_fn(
+        bundle = self._build_mode(train_data, mode)
+        if bundle["epoch_fn"] is not None:
+            self.params, self.opt_state, self.rng, _, parts = bundle["epoch_fn"](
                 self.params, self.opt_state, self.rng,
-                jnp.int32(self.global_step), self._device_columns)
-            self.global_step += self._epoch_steps
+                jnp.int32(self.global_step), bundle["columns"])
+            self.global_step += bundle["steps"]
             total = np.asarray(parts)
             if np.isnan(total).any():
                 raise ValueError(f"Training loss is nan at epoch {epoch_idx}")
             return tuple(total.tolist()) if len(total) > 1 else float(total[0])
 
         total = None
-        for batch in train_data:
+        for batch in bundle["loader"]:
             batch = dict(batch)
             batch["_step"] = np.int32(self.global_step)
             self.global_step += 1
@@ -253,7 +336,7 @@ class Trainer:
             else:
                 batch = {f: jnp.asarray(v) for f, v in batch.items()}
             self.params, self.opt_state, self.rng, loss, parts = \
-                self._train_step_fn(self.params, self.opt_state, self.rng, batch)
+                bundle["step"](self.params, self.opt_state, self.rng, batch)
             total = parts if total is None else total + parts
         if total is None:
             return 0.0
@@ -263,23 +346,15 @@ class Trainer:
         return tuple(total.tolist()) if len(total) > 1 else float(total[0])
 
     def prepare(self, train_data):
-        """Initialize params/optimizer and build the jitted step + (when the
-        table fits HBM) the whole-epoch scan program."""
+        """Initialize params/optimizer and build the default train mode."""
         if self.params is None:
             self.rng, init_key = jax.random.split(self.rng)
             self.params = self.model.init_params(init_key)
             if self.plan is not None:
                 self.params = self.plan.shard_params(self.params)
             self.opt_state = self.optimizer.init(self.params)
-        self._train_step_fn = self._make_train_step(train_data)
-        self._epoch_fn = None
-        if (self.config["scan_epochs"] and self.plan is None
-                and hasattr(train_data, "columns")):
-            cols = train_data.columns()
-            nbytes = sum(v.nbytes for v in cols.values())
-            if nbytes <= (self.config["scan_epochs_max_bytes"] or 2 << 30):
-                self._device_columns = {f: jnp.asarray(v) for f, v in cols.items()}
-                self._epoch_fn, self._epoch_steps = self._make_epoch_fn(train_data)
+        self._modes = {}
+        self._build_mode(train_data, self.default_train_mode)
 
     # -------------------------------------------------------------------- fit
 
@@ -557,6 +632,62 @@ class TraditionalTrainer(Trainer):
         return self.best_valid_score, self.best_valid_result
 
 
+class KGTrainer(Trainer):
+    """Alternating RS/KG/RSKG loop policy (parity: reference KGTrainer,
+    trainer.py:455-481): with train_rec_step/train_kg_step unset every epoch is
+    RSKG (rec batches zipped with kg triples); otherwise epochs alternate in
+    blocks of rec then kg."""
+
+    def __init__(self, config, model):
+        super().__init__(config, model)
+        self.train_rec_step = config["train_rec_step"]
+        self.train_kg_step = config["train_kg_step"]
+
+    def _train_epoch(self, train_data, epoch_idx, mode=None):
+        if self.train_rec_step is None or self.train_kg_step is None:
+            mode = "rskg"
+        elif (epoch_idx % (self.train_rec_step + self.train_kg_step)
+                < self.train_rec_step):
+            mode = "rs"
+        else:
+            mode = "kg"
+        return super()._train_epoch(train_data, epoch_idx, mode)
+
+    def prepare(self, train_data):
+        super().prepare(train_data)
+
+
+class KGATTrainer(Trainer):
+    """Per epoch: RS pass, KG pass, then recompute the attentive adjacency
+    (parity: reference KGATTrainer, trainer.py:484-508)."""
+
+    def _train_epoch(self, train_data, epoch_idx, mode=None):
+        rs_loss = super()._train_epoch(train_data, epoch_idx, "rs")
+        kg_loss = super()._train_epoch(train_data, epoch_idx, "kg")
+        self.params = self.model.update_attentive_A(self.params)
+        rs = rs_loss if isinstance(rs_loss, tuple) else (rs_loss,)
+        kg = kg_loss if isinstance(kg_loss, tuple) else (kg_loss,)
+        return rs + kg
+
+
+class MKRTrainer(Trainer):
+    """RS every epoch, KG every kge_interval epochs (parity: reference
+    MKRTrainer, trainer.py:570-597)."""
+
+    def __init__(self, config, model):
+        super().__init__(config, model)
+        self.kge_interval = config["kge_interval"] or 3
+
+    def _train_epoch(self, train_data, epoch_idx, mode=None):
+        rs_loss = super()._train_epoch(train_data, epoch_idx, "rs_only_loss")
+        kg_loss = 0.0
+        if epoch_idx % self.kge_interval == 0:
+            kg_loss = super()._train_epoch(train_data, epoch_idx, "kg")
+        rs = rs_loss if isinstance(rs_loss, tuple) else (rs_loss,)
+        kg = kg_loss if isinstance(kg_loss, tuple) else (kg_loss,)
+        return rs + kg
+
+
 TRAINER_REGISTRY = {}
 
 
@@ -569,9 +700,14 @@ def register_trainer(name):
 
 def get_trainer(model_type, model_name):
     """parity: reference get_trainer (utils/utils.py:78-96) — model-specific
-    trainer, else type default."""
+    trainer, else type default (KNOWLEDGE -> KGTrainer)."""
     if model_name in TRAINER_REGISTRY:
         return TRAINER_REGISTRY[model_name]
+    builtin = {"KGAT": KGATTrainer, "MKR": MKRTrainer}
+    if model_name in builtin:
+        return builtin[model_name]
     if model_type is ModelType.TRADITIONAL:
         return TraditionalTrainer
+    if model_type is ModelType.KNOWLEDGE:
+        return KGTrainer
     return Trainer
