@@ -102,6 +102,45 @@ class SequentialRecommender(AbstractRecommender):
         return jnp.take_along_axis(
             seq_output, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
 
+    # -- default scoring for models that expose forward() -> (B, D) and score
+    #    items by dot with params[item_embedding_key] (the common pattern
+    #    across the reference's sequential catalog) ---------------------------
+
+    item_embedding_key = "item_embedding"
+
+    def forward(self, params, batch, rng=None):
+        raise NotImplementedError
+
+    def _item_table(self, params):
+        return params[self.item_embedding_key]
+
+    def calculate_loss(self, params, batch, rng=None):
+        from .losses import bpr_loss, ce_loss
+        out = self.forward(params, batch, rng)
+        pos = batch[self.POS_ITEM_ID]
+        w = batch.get("_weight")
+        table = self._item_table(params)
+        if getattr(self, "loss_type", "CE") == "BPR":
+            neg = batch[self.NEG_ITEM_ID]
+            return bpr_loss(jnp.sum(out * table[pos], -1),
+                            jnp.sum(out * table[neg], -1), w)
+        logits = jnp.dot(out, table.T, preferred_element_type=jnp.float32)
+        return ce_loss(logits, pos, w)
+
+    def predict(self, params, batch):
+        out = self.forward(params, batch)
+        return jnp.sum(out * self._item_table(params)[batch[self.ITEM_ID]], -1)
+
+    def score_items(self, params, batch, items):
+        out = self.forward(params, batch)
+        return jnp.einsum("bd,bcd->bc", out, self._item_table(params)[items],
+                          preferred_element_type=jnp.float32)
+
+    def full_sort_predict(self, params, batch):
+        out = self.forward(params, batch)
+        return jnp.dot(out, self._item_table(params).T,
+                       preferred_element_type=jnp.float32)
+
 
 class KnowledgeRecommender(AbstractRecommender):
     type = ModelType.KNOWLEDGE

@@ -1,0 +1,90 @@
+"""Caser: convolutional sequence embedding.
+
+Parity target: reference Caser (recbole/model/sequential_recommender/caser.py)
+— the last L items as an L x D "image": nh horizontal conv filters per height
+1..L (max-pooled over time) + nv vertical filters (weighted sums over time),
+concatenated with the user embedding through fc layers. The reference pads
+sequences to the FULL max length and convolves all of it; we do the same.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..base import SequentialRecommender
+from ..layers import embedding_init, xavier_uniform, dropout_apply
+from ...utils.enums import InputType
+from .. import register_model
+
+
+@register_model("Caser")
+class Caser(SequentialRecommender):
+    default_config = {"embedding_size": 64, "dropout_prob": 0.4,
+                      "reg_weight": 1e-4, "nv": 8, "nh": 16,
+                      "loss_type": "CE", "training_neg_sample_num": 0}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = config["embedding_size"]
+        self.dropout_prob = config["dropout_prob"]
+        self.reg_weight = config["reg_weight"]
+        self.nv = config["nv"]
+        self.nh = config["nh"]
+        self.loss_type = config["loss_type"]
+        self.input_type = (InputType.PAIRWISE if self.loss_type == "BPR"
+                           else InputType.POINTWISE)
+        self.heights = list(range(1, self.max_seq_length + 1))
+
+    def init_params(self, rng):
+        ks = jax.random.split(rng, 5 + len(self.heights))
+        D, L = self.embedding_size, self.max_seq_length
+        fc1_in = self.nh * len(self.heights) + self.nv * D
+        params = {
+            "user_embedding": embedding_init(ks[0], self.n_users, D),
+            "item_embedding": embedding_init(ks[1], self.n_items, D),
+            "conv_v": xavier_uniform(ks[2], (L, self.nv)),
+            "conv_h": [xavier_uniform(ks[5 + i], (h, D, self.nh))
+                       for i, h in enumerate(self.heights)],
+            "fc1_w": xavier_uniform(ks[3], (fc1_in, D)),
+            "fc1_b": jnp.zeros(D),
+            "fc2_w": xavier_uniform(ks[4], (2 * D, D)),
+            "fc2_b": jnp.zeros(D),
+        }
+        return params
+
+    def forward(self, params, batch, rng=None):
+        seq = batch[self.ITEM_SEQ]
+        E = params["item_embedding"][seq]                      # (B, L, D)
+        # vertical: weighted sums over the time axis
+        out_v = jnp.einsum("bld,lv->bvd", E, params["conv_v"],
+                           preferred_element_type=jnp.float32)
+        out_v = out_v.reshape(E.shape[0], -1)                  # (B, nv*D)
+        # horizontal: full-width filters of every height, max-pooled over time
+        # (einsum over stacked sliding windows; L is small so this stays fused)
+        L = E.shape[1]
+        outs_h = []
+        for h, w in zip(self.heights, params["conv_h"]):
+            windows = jnp.stack([E[:, i:i + h, :] for i in range(L - h + 1)],
+                                axis=1)                        # (B, T, h, D)
+            act = jax.nn.relu(jnp.einsum("bthd,hdo->bto", windows, w,
+                                         preferred_element_type=jnp.float32))
+            outs_h.append(jnp.max(act, axis=1))                # (B, nh)
+        out_h = jnp.concatenate(outs_h, -1)
+        x = jnp.concatenate([out_v, out_h], -1)
+        if rng is not None and self.dropout_prob > 0:
+            rng, dk = jax.random.split(rng)
+            x = dropout_apply(dk, x, self.dropout_prob)
+        z = jax.nn.relu(jnp.dot(x, params["fc1_w"],
+                                preferred_element_type=jnp.float32)
+                        + params["fc1_b"])
+        u = params["user_embedding"][batch[self.USER_ID]]
+        out = jax.nn.relu(jnp.dot(jnp.concatenate([z, u], -1), params["fc2_w"],
+                                  preferred_element_type=jnp.float32)
+                          + params["fc2_b"])
+        return out
+
+    def calculate_loss(self, params, batch, rng=None):
+        loss = super().calculate_loss(params, batch, rng)
+        reg = self.reg_weight * (jnp.sum(params["conv_v"] ** 2)
+                                 + jnp.sum(params["fc1_w"] ** 2)
+                                 + jnp.sum(params["fc2_w"] ** 2))
+        return loss + reg

@@ -1,0 +1,85 @@
+"""HGN: hierarchical gating network.
+
+Parity target: reference HGN (recbole/model/sequential_recommender/hgn.py)
+— feature gating (per-dim sigmoid gate from item+user), instance gating
+(per-position gate), pooled (avg/max), plus user term and item-item term;
+BPR loss by default with L2 regs.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..base import SequentialRecommender
+from ..layers import embedding_init, xavier_uniform
+from ...utils.enums import InputType
+from .. import register_model
+
+
+@register_model("HGN")
+class HGN(SequentialRecommender):
+    item_embedding_key = "item_out_embedding"
+    default_config = {"embedding_size": 64, "loss_type": "BPR",
+                      "pooling_type": "average", "reg_weight": [0.0, 0.0],
+                      "training_neg_sample_num": 1}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = config["embedding_size"]
+        self.pooling_type = config["pooling_type"]
+        self.reg_weight = config["reg_weight"]
+        self.loss_type = config["loss_type"]
+        self.input_type = (InputType.PAIRWISE if self.loss_type == "BPR"
+                           else InputType.POINTWISE)
+
+    def init_params(self, rng):
+        ks = jax.random.split(rng, 7)
+        D, L = self.embedding_size, self.max_seq_length
+        return {
+            "user_embedding": embedding_init(ks[0], self.n_users, D),
+            "item_embedding": embedding_init(ks[1], self.n_items, D),
+            "item_out_embedding": embedding_init(ks[2], self.n_items, D),
+            "w1": xavier_uniform(ks[3], (D, D)),
+            "w2": xavier_uniform(ks[4], (D, D)),
+            "b": jnp.zeros(D),
+            "w3": xavier_uniform(ks[5], (D,)),
+            "w4": xavier_uniform(ks[6], (L, D)),
+        }
+
+    def forward(self, params, batch, rng=None):
+        seq = batch[self.ITEM_SEQ]
+        seq_len = batch[self.ITEM_SEQ_LEN]
+        L = seq.shape[1]
+        emb = params["item_embedding"][seq]                    # (B, L, D)
+        u = params["user_embedding"][batch[self.USER_ID]]      # (B, D)
+        valid = (jnp.arange(L)[None, :] < seq_len[:, None]).astype(jnp.float32)
+        # feature gating
+        fg = jax.nn.sigmoid(
+            jnp.einsum("bld,dk->blk", emb, params["w1"],
+                       preferred_element_type=jnp.float32)
+            + jnp.dot(u, params["w2"])[:, None, :] + params["b"])
+        gated = emb * fg
+        # instance gating: (B, L)
+        ig = jax.nn.sigmoid(
+            jnp.einsum("bld,d->bl", gated, params["w3"],
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bd,ld->bl", u, params["w4"],
+                         preferred_element_type=jnp.float32))
+        inst = gated * (ig * valid)[:, :, None]
+        if self.pooling_type == "max":
+            pooled = jnp.max(jnp.where(valid[:, :, None] > 0, inst, -1e9), 1)
+        else:
+            pooled = jnp.sum(inst, 1) / jnp.maximum(
+                jnp.sum(ig * valid, 1, keepdims=True), 1e-8)
+        # item-item term: sum of raw history embeddings
+        hist_sum = jnp.sum(emb * valid[:, :, None], 1)
+        return u + pooled + hist_sum
+
+    def calculate_loss(self, params, batch, rng=None):
+        loss = super().calculate_loss(params, batch, rng)
+        reg1 = self.reg_weight[0] * (jnp.sum(params["w1"] ** 2)
+                                     + jnp.sum(params["w2"] ** 2)
+                                     + jnp.sum(params["w3"] ** 2)
+                                     + jnp.sum(params["w4"] ** 2))
+        reg2 = self.reg_weight[1] * (jnp.sum(params["user_embedding"] ** 2)
+                                     + jnp.sum(params["item_embedding"] ** 2))
+        return loss + reg1 + reg2

@@ -1,0 +1,73 @@
+"""TransRec: translation-based recommendation.
+
+Parity target: reference TransRec
+(recbole/model/sequential_recommender/transrec.py) — items as points, users as
+translation vectors (plus a shared global translation T): score(u, last, i) =
+bias_i - ||last + u + T - i||^2; BPR pairwise.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..base import SequentialRecommender
+from ..layers import embedding_init
+from ..losses import bpr_loss
+from ...utils.enums import InputType
+from .. import register_model
+
+
+@register_model("TransRec")
+class TransRec(SequentialRecommender):
+    input_type = InputType.PAIRWISE
+    default_config = {"embedding_size": 64, "training_neg_sample_num": 1}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = config["embedding_size"]
+
+    def init_params(self, rng):
+        ku, ki, kt = jax.random.split(rng, 3)
+        D = self.embedding_size
+        return {
+            "user_embedding": embedding_init(ku, self.n_users, D),
+            "item_embedding": embedding_init(ki, self.n_items, D),
+            "T": jax.random.normal(kt, (D,)) * 0.01,
+            "item_bias": jnp.zeros(self.n_items),
+        }
+
+    def _last_item(self, batch):
+        seq = batch[self.ITEM_SEQ]
+        idx = jnp.clip(batch[self.ITEM_SEQ_LEN] - 1, 0, seq.shape[1] - 1)
+        return jnp.take_along_axis(seq, idx[:, None], 1)[:, 0]
+
+    def _translated(self, params, batch):
+        last_e = params["item_embedding"][self._last_item(batch)]
+        u_e = params["user_embedding"][batch[self.USER_ID]]
+        return last_e + u_e + params["T"][None, :]
+
+    def _score(self, params, batch, items):
+        pred = self._translated(params, batch)
+        i_e = params["item_embedding"][items]
+        return params["item_bias"][items] - jnp.sum((pred - i_e) ** 2, -1)
+
+    def calculate_loss(self, params, batch, rng=None):
+        pos = self._score(params, batch, batch[self.POS_ITEM_ID])
+        neg = self._score(params, batch, batch[self.NEG_ITEM_ID])
+        return bpr_loss(pos, neg, batch.get("_weight"))
+
+    def predict(self, params, batch):
+        return self._score(params, batch, batch[self.ITEM_ID])
+
+    def score_items(self, params, batch, items):
+        pred = self._translated(params, batch)                  # (B, D)
+        i_e = params["item_embedding"][items]                   # (B, C, D)
+        return params["item_bias"][items] \
+            - jnp.sum((pred[:, None, :] - i_e) ** 2, -1)
+
+    def full_sort_predict(self, params, batch):
+        pred = self._translated(params, batch)
+        items = params["item_embedding"]
+        d = jnp.sum(pred ** 2, -1, keepdims=True) \
+            - 2 * jnp.dot(pred, items.T, preferred_element_type=jnp.float32) \
+            + jnp.sum(items ** 2, -1)[None, :]
+        return params["item_bias"][None, :] - d

@@ -31,7 +31,7 @@ def test_seq_split_semantics(tmp_path):
     assert list(window) == ["i1", "i2", "i3", "i4"]
 
 
-@pytest.mark.parametrize("model", ["GRU4Rec", "SASRec"])
+@pytest.mark.parametrize("model", ["GRU4Rec", "SASRec", "STAMP", "FPMC", "NARM", "Caser", "NextItNet", "BERT4Rec", "TransRec", "HRM", "NPE", "FOSSIL", "SHAN", "HGN"])
 def test_sequential_model_smoke(model, synth_dataset_dir, tmp_path):
     result = objective_function(
         config_dict={"model": model, "dataset": "synth",
