@@ -1,0 +1,102 @@
+"""DMF: deep matrix factorization.
+
+Parity target: reference DMF (recbole/model/general_recommender/dmf.py) —
+user input = the user's interaction-matrix row, item input = the item's
+column; separate linear towers; cosine similarity clipped from below; BCE
+(ratings normalized by max when inter_matrix_type='rating').
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base import GeneralRecommender
+from ..layers import mlp_init, xavier_normal
+from ...utils.enums import InputType
+from .. import register_model
+
+
+@register_model("DMF")
+class DMF(GeneralRecommender):
+    input_type = InputType.POINTWISE
+    default_config = {"inter_matrix_type": "01", "user_embedding_size": 64,
+                      "item_embedding_size": 64,
+                      "user_hidden_size_list": [64, 64],
+                      "item_hidden_size_list": [64, 64]}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.user_hidden = list(config["user_hidden_size_list"])
+        self.item_hidden = list(config["item_hidden_size_list"])
+        if self.user_hidden[-1] != self.item_hidden[-1]:
+            raise ValueError("tower output dims must match")
+        value_field = (config["RATING_FIELD"]
+                       if config["inter_matrix_type"] == "rating" else None)
+        mat = dataset.inter_matrix("csr", value_field=value_field)
+        dense = np.asarray(mat.todense(), np.float32)
+        self.max_rating = float(dense.max()) if dense.size else 1.0
+        self.R = jnp.asarray(dense)
+
+    def init_params(self, rng):
+        ku, ki, k1, k2 = jax.random.split(rng, 4)
+        params = {
+            "user_w0": xavier_normal(ku, (self.n_items, self.user_hidden[0])),
+            "item_w0": xavier_normal(ki, (self.n_users, self.item_hidden[0])),
+            "user_mlp": mlp_init(k1, self.user_hidden, "xavier_normal"),
+            "item_mlp": mlp_init(k2, self.item_hidden, "xavier_normal"),
+        }
+        return params
+
+    def _towers(self, params, user, item):
+        u = jnp.dot(self.R[user], params["user_w0"],
+                    preferred_element_type=jnp.float32)
+        i = jnp.dot(self.R[:, item].T, params["item_w0"],
+                    preferred_element_type=jnp.float32)
+        for layer in params["user_mlp"]:
+            u = jax.nn.relu(jnp.dot(u, layer["w"],
+                                    preferred_element_type=jnp.float32)
+                            + layer["b"])
+        for layer in params["item_mlp"]:
+            i = jax.nn.relu(jnp.dot(i, layer["w"],
+                                    preferred_element_type=jnp.float32)
+                            + layer["b"])
+        return u, i
+
+    def _cosine(self, u, i):
+        sim = jnp.sum(u * i, -1) / (
+            jnp.linalg.norm(u, axis=-1) * jnp.linalg.norm(i, axis=-1) + 1e-8)
+        return jnp.maximum(sim, 1e-6)  # reference clips at 1e-6
+
+    def calculate_loss(self, params, batch, rng=None):
+        u, i = self._towers(params, batch[self.USER_ID], batch[self.ITEM_ID])
+        p = self._cosine(u, i)
+        label = batch[self.LABEL] / self.max_rating
+        w = batch.get("_weight")
+        eps = 1e-7
+        loss = -(label * jnp.log(p + eps) + (1 - label) * jnp.log(1 - p + eps))
+        if w is None:
+            return jnp.mean(loss)
+        return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def predict(self, params, batch):
+        u, i = self._towers(params, batch[self.USER_ID], batch[self.ITEM_ID])
+        return self._cosine(u, i)
+
+    def full_sort_predict(self, params, batch):
+        user = batch[self.USER_ID]
+        u = jnp.dot(self.R[user], params["user_w0"],
+                    preferred_element_type=jnp.float32)
+        for layer in params["user_mlp"]:
+            u = jax.nn.relu(jnp.dot(u, layer["w"],
+                                    preferred_element_type=jnp.float32)
+                            + layer["b"])
+        i = jnp.dot(self.R.T, params["item_w0"],
+                    preferred_element_type=jnp.float32)
+        for layer in params["item_mlp"]:
+            i = jax.nn.relu(jnp.dot(i, layer["w"],
+                                    preferred_element_type=jnp.float32)
+                            + layer["b"])
+        un = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-8)
+        inn = i / (jnp.linalg.norm(i, axis=-1, keepdims=True) + 1e-8)
+        return jnp.maximum(jnp.dot(un, inn.T,
+                                   preferred_element_type=jnp.float32), 1e-6)

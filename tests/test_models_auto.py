@@ -21,7 +21,8 @@ BASE = {
 }
 
 GENERAL_MODELS = ["BPR", "Pop", "ItemKNN", "EASE", "MFSimple", "GMF", "MLP",
-                  "NCF", "NeuMF", "LightGCN", "NGCF", "MultiVAE", "MultiDAE"]
+                  "NCF", "NeuMF", "LightGCN", "NGCF", "MultiVAE", "MultiDAE",
+                  "DMF", "FISM", "NAIS", "SpectralCF", "LINE", "CDAE"]
 
 
 @pytest.mark.parametrize("model", GENERAL_MODELS)
