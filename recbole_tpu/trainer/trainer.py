@@ -466,7 +466,8 @@ class Trainer:
 
         from ..models.base import AbstractRecommender
         has_full_sort = (type(model).full_sort_predict
-                         is not AbstractRecommender.full_sort_predict)
+                         is not AbstractRecommender.full_sort_predict
+                         and not getattr(model, "full_sort_fallback", False))
 
         def all_item_scores(params, batch):
             if has_full_sort:

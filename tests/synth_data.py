@@ -44,9 +44,11 @@ def make_synthetic_dataset(root, name="synth", n_users=60, n_items=80,
             fh.write(f"u{u}\ti{i}\t{r}\t{ts}\n")
 
     with open(os.path.join(ds_dir, f"{name}.user"), "w") as fh:
-        fh.write("user_id:token\tage:float\tgender:token\n")
+        fh.write("user_id:token\tage:float\tgender:token\tinterests:token_seq\n")
+        words = ["sports", "music", "travel", "books", "games", "cooking"]
         for u in range(1, n_users + 1):
-            fh.write(f"u{u}\t{18 + (u * 7) % 50}\t{'M' if u % 2 else 'F'}\n")
+            iw = " ".join(words[(u + j) % 6] for j in range(1 + u % 3))
+            fh.write(f"u{u}\t{18 + (u * 7) % 50}\t{'M' if u % 2 else 'F'}\t{iw}\n")
 
     with open(os.path.join(ds_dir, f"{name}.item"), "w") as fh:
         fh.write("item_id:token\tgenre:token_seq\tprice:float\n")
