@@ -160,6 +160,7 @@ class SequentialEvalLoader:
         if batch_size is None:
             budget = (config["eval_batch_size"] or 4096) * 4096
             batch_size = int(np.clip(budget // max(n_items, 1), 8, 4096))
+            batch_size = min(batch_size, max(len(split), 8))
         self.batch_size = batch_size
         self.n = len(split)
 
@@ -321,9 +322,11 @@ class FullSortEvalLoader:
         self.max_pos = P
 
         if batch_size is None:
-            # scale user-batch so the (B, n_items) score matrix stays ~64MB
+            # scale user-batch so the (B, n_items) score matrix stays ~64MB,
+            # and never pad beyond the actual eval-user count
             budget = (config["eval_batch_size"] or 4096) * 4096
             batch_size = int(np.clip(budget // max(n_items, 1), 8, 4096))
+            batch_size = min(batch_size, max(len(self.users), 8))
         self.batch_size = batch_size
 
     def __len__(self):

@@ -1,0 +1,126 @@
+"""KGCN: knowledge graph convolutional network.
+
+Parity target: reference KGCN (recbole/model/knowledge_aware_recommender/kgcn.py)
+— for each candidate item, aggregate its KG neighborhood for n_iter hops with
+user-relation attention. Neighborhoods are FIXED-SIZE samples per entity
+(neighbor_sample_size), precomputed once — exactly the static-shape structure
+a TPU wants.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base import KnowledgeRecommender
+from ..layers import xavier_normal
+from ..losses import bce_loss
+from ...utils.enums import InputType
+from .. import register_model
+
+
+def build_neighbor_tables(h, r, t, n_entities, sample_size, seed=2020):
+    """(n_entities, S) sampled neighbor entity/relation tables. Both edge
+    directions are used; entities without neighbors point to themselves."""
+    rng = np.random.RandomState(seed)
+    adj = [[] for _ in range(n_entities)]
+    for hh, rr, tt in zip(h, r, t):
+        adj[hh].append((tt, rr))
+        adj[tt].append((hh, rr))
+    ent = np.zeros((n_entities, sample_size), np.int32)
+    rel = np.zeros((n_entities, sample_size), np.int32)
+    for e in range(n_entities):
+        if not adj[e]:
+            ent[e] = e
+            continue
+        idx = rng.choice(len(adj[e]), sample_size,
+                         replace=len(adj[e]) < sample_size)
+        for j, k in enumerate(idx):
+            ent[e, j], rel[e, j] = adj[e][k]
+    return ent, rel
+
+
+@register_model("KGCN")
+class KGCN(KnowledgeRecommender):
+    input_type = InputType.POINTWISE
+    default_config = {"embedding_size": 64, "n_iter": 1, "aggregator": "sum",
+                      "reg_weight": 1e-7, "neighbor_sample_size": 4}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = config["embedding_size"]
+        self.n_iter = config["n_iter"]
+        self.aggregator = config["aggregator"]
+        self.reg_weight = config["reg_weight"]
+        self.S = config["neighbor_sample_size"]
+        h, r, t = dataset.kg_arrays()
+        ent, rel = build_neighbor_tables(h, r, t, self.n_entities, self.S,
+                                         config["seed"] or 2020)
+        self.adj_ent = jnp.asarray(ent)
+        self.adj_rel = jnp.asarray(rel)
+
+    def init_params(self, rng):
+        ks = jax.random.split(rng, 3 + self.n_iter)
+        D = self.embedding_size
+        params = {
+            "user_embedding": xavier_normal(ks[0], (self.n_users, D)),
+            "entity_embedding": xavier_normal(ks[1], (self.n_entities, D)),
+            "relation_embedding": xavier_normal(ks[2], (self.n_relations, D)),
+            "agg_w": [xavier_normal(ks[3 + i],
+                                    (2 * D if self.aggregator == "concat" else D, D))
+                      for i in range(self.n_iter)],
+            "agg_b": [jnp.zeros(D) for _ in range(self.n_iter)],
+        }
+        return params
+
+    def _item_repr(self, params, user, item):
+        """Aggregate item's n_iter-hop neighborhood with user-relation scores."""
+        D = self.embedding_size
+        u_e = params["user_embedding"][user]                   # (B, D)
+        # hop entity lists: hop 0 = item (B, 1); hop k = (B, S^k)
+        entities = [item[:, None]]
+        relations = []
+        for _ in range(self.n_iter):
+            prev = entities[-1]
+            entities.append(self.adj_ent[prev].reshape(prev.shape[0], -1))
+            relations.append(self.adj_rel[prev].reshape(prev.shape[0], -1))
+        vectors = [params["entity_embedding"][e] for e in entities]
+        for it in range(self.n_iter):
+            act = jnp.tanh if it == self.n_iter - 1 else jax.nn.relu
+            new_vectors = []
+            for hop in range(self.n_iter - it):
+                B, M, _ = vectors[hop].shape
+                neigh = vectors[hop + 1].reshape(B, M, self.S, D)
+                rels = params["relation_embedding"][
+                    relations[hop].reshape(B, M, self.S)]
+                scores = jax.nn.softmax(
+                    jnp.einsum("bd,bmsd->bms", u_e, rels,
+                               preferred_element_type=jnp.float32), -1)
+                agg_n = jnp.sum(scores[..., None] * neigh, 2)  # (B, M, D)
+                if self.aggregator == "sum":
+                    x = vectors[hop] + agg_n
+                elif self.aggregator == "neighbor":
+                    x = agg_n
+                else:  # concat
+                    x = jnp.concatenate([vectors[hop], agg_n], -1)
+                x = act(jnp.einsum("bmd,do->bmo", x, params["agg_w"][it],
+                                   preferred_element_type=jnp.float32)
+                        + params["agg_b"][it])
+                new_vectors.append(x)
+            vectors = new_vectors
+        return vectors[0][:, 0]                                # (B, D)
+
+    def _logits(self, params, user, item):
+        i_repr = self._item_repr(params, user, item)
+        return jnp.sum(params["user_embedding"][user] * i_repr, -1)
+
+    def calculate_loss(self, params, batch, rng=None):
+        logits = self._logits(params, batch[self.USER_ID], batch[self.ITEM_ID])
+        loss = bce_loss(logits, batch[self.LABEL], batch.get("_weight"))
+        reg = self.reg_weight * (jnp.sum(params["user_embedding"] ** 2)
+                                 + jnp.sum(params["entity_embedding"] ** 2)
+                                 + jnp.sum(params["relation_embedding"] ** 2))
+        return loss + reg
+
+    def predict(self, params, batch):
+        return jax.nn.sigmoid(
+            self._logits(params, batch[self.USER_ID], batch[self.ITEM_ID]))

@@ -1,0 +1,134 @@
+"""RippleNet: preference propagation over per-user ripple sets.
+
+Parity target: reference RippleNet
+(recbole/model/knowledge_aware_recommender/ripplenet.py) — each user has n_hop
+"ripple sets" of KG triples seeded by their interacted items (fixed n_memory
+per hop, sampled once); prediction attends the item embedding over each hop's
+(head, relation) memories and accumulates tail responses; kg regularizer on
+the triple reconstruction.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base import KnowledgeRecommender
+from ..layers import xavier_normal
+from ..losses import bce_loss
+from ...utils.enums import InputType
+from .. import register_model
+
+
+def build_ripple_sets(hist, hlen, kg_h, kg_r, kg_t, n_users, n_hop, n_memory,
+                      seed=2020):
+    rng = np.random.RandomState(seed)
+    # head -> list of (r, t)
+    out = {}
+    for hh, rr, tt in zip(kg_h, kg_r, kg_t):
+        out.setdefault(hh, []).append((rr, tt))
+    H = np.zeros((n_users, n_hop, n_memory), np.int32)
+    R = np.zeros((n_users, n_hop, n_memory), np.int32)
+    T = np.zeros((n_users, n_hop, n_memory), np.int32)
+    M = np.zeros((n_users, n_hop), np.float32)  # valid flags (any memories?)
+    for u in range(n_users):
+        seeds = list(hist[u][:hlen[u]])
+        for hop in range(n_hop):
+            triples = []
+            for s in seeds:
+                for (rr, tt) in out.get(int(s), []):
+                    triples.append((int(s), int(rr), int(tt)))
+            if not triples:
+                break
+            idx = rng.choice(len(triples), n_memory,
+                             replace=len(triples) < n_memory)
+            for j, k in enumerate(idx):
+                H[u, hop, j], R[u, hop, j], T[u, hop, j] = triples[k]
+            M[u, hop] = 1.0
+            seeds = [triples[k][2] for k in idx]
+    return H, R, T, M
+
+
+@register_model("RippleNet")
+class RippleNet(KnowledgeRecommender):
+    input_type = InputType.POINTWISE
+    default_config = {"embedding_size": 64, "n_hop": 2, "n_memory": 16,
+                      "kg_weight": 0.01, "reg_weight": 1e-7}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.embedding_size = config["embedding_size"]
+        self.n_hop = config["n_hop"]
+        self.n_memory = config["n_memory"]
+        self.kg_weight = config["kg_weight"]
+        self.reg_weight = config["reg_weight"]
+        hist, hlen = dataset.history_item_matrix()
+        h, r, t = dataset.kg_arrays()
+        H, R, T, M = build_ripple_sets(hist, hlen, h, r, t, self.n_users,
+                                       self.n_hop, self.n_memory,
+                                       config["seed"] or 2020)
+        self.rip_h = jnp.asarray(H)
+        self.rip_r = jnp.asarray(R)
+        self.rip_t = jnp.asarray(T)
+        self.rip_m = jnp.asarray(M)
+
+    def init_params(self, rng):
+        ks = jax.random.split(rng, 3)
+        D = self.embedding_size
+        return {
+            "entity_embedding": xavier_normal(ks[0], (self.n_entities, D)),
+            # relations as (D, D) matrices (reference uses D*D relation emb)
+            "relation_embedding": xavier_normal(ks[1],
+                                                (self.n_relations, D, D)),
+            "transform": xavier_normal(ks[2], (D, D)),
+        }
+
+    def _score_candidates(self, params, user, cand):
+        """user: (B,), cand: (B, C) -> (B, C) scores. The per-user ripple
+        tensors (incl. the (M, D, D) relation matrices) are gathered ONCE per
+        user and shared across all C candidates — the memory-critical choice
+        for full-sort evaluation."""
+        v = params["entity_embedding"][cand]                   # (B, C, D)
+        o_sum = jnp.zeros_like(v)
+        for hop in range(self.n_hop):
+            h_e = params["entity_embedding"][self.rip_h[user, hop]]  # (B, M, D)
+            r_e = params["relation_embedding"][self.rip_r[user, hop]]
+            t_e = params["entity_embedding"][self.rip_t[user, hop]]
+            rh = jnp.einsum("bmij,bmj->bmi", r_e, h_e,
+                            preferred_element_type=jnp.float32)  # (B, M, D)
+            probs = jax.nn.softmax(
+                jnp.einsum("bmi,bci->bcm", rh, v,
+                           preferred_element_type=jnp.float32), -1)
+            probs = probs * self.rip_m[user, hop][:, None, None]
+            o = jnp.einsum("bcm,bmi->bci", probs, t_e,
+                           preferred_element_type=jnp.float32)
+            o_sum = o_sum + o
+            v = jnp.dot(v + o, params["transform"],
+                        preferred_element_type=jnp.float32)
+        item_e = params["entity_embedding"][cand]
+        return jnp.sum(item_e * o_sum, -1)
+
+    def _forward(self, params, user, item):
+        return self._score_candidates(params, user, item[:, None])[:, 0]
+
+    def score_items(self, params, batch, items):
+        return self._score_candidates(params, batch[self.USER_ID], items)
+
+    def calculate_loss(self, params, batch, rng=None):
+        user, item = batch[self.USER_ID], batch[self.ITEM_ID]
+        w = batch.get("_weight")
+        logits = self._forward(params, user, item)
+        loss = bce_loss(logits, batch[self.LABEL], w)
+        # kg reconstruction on hop-0 memories
+        h_e = params["entity_embedding"][self.rip_h[user, 0]]
+        r_e = params["relation_embedding"][self.rip_r[user, 0]]
+        t_e = params["entity_embedding"][self.rip_t[user, 0]]
+        rec = jnp.einsum("bmi,bmij,bmj->bm", t_e, r_e, h_e,
+                         preferred_element_type=jnp.float32)
+        kg_term = -jnp.mean(jax.nn.log_sigmoid(rec))
+        reg = self.reg_weight * (jnp.sum(params["entity_embedding"] ** 2)
+                                 + jnp.sum(params["relation_embedding"] ** 2))
+        return loss, self.kg_weight * kg_term, reg
+
+    def predict(self, params, batch):
+        return jax.nn.sigmoid(
+            self._forward(params, batch[self.USER_ID], batch[self.ITEM_ID]))

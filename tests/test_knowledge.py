@@ -27,7 +27,7 @@ def test_entity_remap_sections(synth_dataset_dir):
     assert len(ch) == len(h) + 2 * ds.inter_num
 
 
-@pytest.mark.parametrize("model", ["CKE", "CFKG"])
+@pytest.mark.parametrize("model", ["CKE", "CFKG", "KTUP", "MKR", "KGAT", "KGCN", "KGNNLS", "RippleNet"])
 def test_kg_model_smoke(model, synth_dataset_dir, tmp_path):
     result = objective_function(
         config_dict={"model": model, "dataset": "synth",
