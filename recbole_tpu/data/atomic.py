@@ -43,7 +43,9 @@ def read_atomic_file(path, field_separator="\t", seq_separator=" ",
         field2type[name] = _TYPE_MAP[ftype]
 
     keep = list(fields)
-    if usecols is not None:
+    # '*' wildcard = all columns of this file (extension over the reference's
+    # load_col, which requires explicit column lists, data/utils.py:97-98)
+    if usecols is not None and usecols != "*" and "*" not in usecols:
         keep = [f for f in keep if f in set(usecols)]
     if unload:
         keep = [f for f in keep if f not in set(unload)]

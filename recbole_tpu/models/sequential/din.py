@@ -1,0 +1,119 @@
+"""DIN: deep interest network (target-attention CTR over behavior sequences).
+
+Parity target: reference DIN (recbole/model/sequential_recommender/din.py) —
+item+feature embeddings of the history and the target, SequenceAttLayer
+(query/key/diff/product MLP attention, layers.py:251-309), Dice-activated DNN,
+sigmoid CTR output with BCE loss. Pointwise input; no full-sort matmul exists
+(the trainer's chunked score_items fallback covers ranking protocols).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..base import SequentialRecommender
+from ..layers import mlp_init, xavier_normal
+from ..losses import bce_loss
+from ...utils.enums import InputType
+from .. import register_model
+from .feat_embed import ItemFeatEmbedder
+
+
+def dice(x, alpha, eps=1e-8):
+    """Dice activation (parity: layers.py:228): p = sigmoid(standardize(x)),
+    out = p*x + (1-p)*alpha*x. Batch statistics are computed in-graph."""
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    std = jnp.std(x, axis=0, keepdims=True) + eps
+    p = jax.nn.sigmoid((x - mean) / std)
+    return p * x + (1.0 - p) * alpha * x
+
+
+def att_mlp_init(rng, dims):
+    return mlp_init(rng, dims)
+
+
+def sequence_attention(params, query, keys, keys_len, softmax_stag=False):
+    """parity: SequenceAttLayer (layers.py:251) with return_seq_weight=False.
+
+    query: (B, H); keys: (B, L, H); -> (B, H) attended history.
+    """
+    B, L, H = keys.shape
+    q = jnp.broadcast_to(query[:, None, :], (B, L, H))
+    x = jnp.concatenate([q, keys, q - keys, q * keys], axis=-1)
+    for layer in params["mlp"]:
+        x = jax.nn.sigmoid(jnp.dot(x, layer["w"],
+                                   preferred_element_type=jnp.float32)
+                           + layer["b"])
+    score = jnp.dot(x, params["dense_w"])[:, :, 0] + params["dense_b"]  # (B, L)
+    invalid = jnp.arange(L)[None, :] >= keys_len[:, None]
+    # -1e9 (not -inf): rows that are ALL padding (weight-0 batch fill) must
+    # softmax to uniform, not NaN
+    score = jnp.where(invalid, -1e9 if softmax_stag else 0.0, score)
+    score = score / (H ** 0.5)
+    if softmax_stag:
+        score = jax.nn.softmax(score, axis=1)
+    return jnp.einsum("bl,blh->bh", score, keys,
+                      preferred_element_type=jnp.float32), score
+
+
+@register_model("DIN")
+class DIN(SequentialRecommender):
+    input_type = InputType.POINTWISE
+    full_sort_fallback = True
+    default_config = {"embedding_size": 10, "mlp_hidden_size": [256, 256, 256],
+                      "dropout_prob": 0.0, "pooling_mode": "mean",
+                      "training_neg_sample_num": 1, "selected_features": None}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.LABEL = config["LABEL_FIELD"]
+        self.embedding_size = config["embedding_size"]
+        self.mlp_hidden_size = list(config["mlp_hidden_size"])
+        self.embedder = ItemFeatEmbedder(
+            dataset, config["selected_features"], config["pooling_mode"])
+        self.feat_dim = self.embedder.num_fields * self.embedding_size
+
+    def init_params(self, rng):
+        ks = jax.random.split(rng, 5)
+        H = self.feat_dim
+        att_dims = [4 * H] + self.mlp_hidden_size
+        dnn_dims = [3 * H] + self.mlp_hidden_size
+        params = self.embedder.init(ks[0], self.embedding_size)
+        params["att"] = {
+            "mlp": mlp_init(ks[1], att_dims),
+            "dense_w": xavier_normal(ks[2], (att_dims[-1], 1)),
+            "dense_b": jnp.zeros(()),
+        }
+        params["dnn"] = mlp_init(ks[3], dnn_dims)
+        params["dice_alpha"] = [jnp.zeros((d,)) for d in self.mlp_hidden_size]
+        params["predict_w"] = xavier_normal(ks[4], (self.mlp_hidden_size[-1], 1))
+        params["predict_b"] = jnp.zeros(())
+        return params
+
+    def _logits(self, params, batch, target_items):
+        seq = batch[self.ITEM_SEQ]
+        seq_len = batch[self.ITEM_SEQ_LEN]
+        keys = self.embedder.embed_flat(params, seq)               # (B, L, H)
+        target = self.embedder.embed_flat(params, target_items)   # (B, H)
+        user_emb, _ = sequence_attention(params["att"], target, keys, seq_len)
+        x = jnp.concatenate([user_emb, target, user_emb * target], axis=-1)
+        for layer, alpha in zip(params["dnn"], params["dice_alpha"]):
+            x = jnp.dot(x, layer["w"],
+                        preferred_element_type=jnp.float32) + layer["b"]
+            x = dice(x, alpha)
+        return jnp.dot(x, params["predict_w"])[:, 0] + params["predict_b"]
+
+    def calculate_loss(self, params, batch, rng=None):
+        logits = self._logits(params, batch, batch[self.POS_ITEM_ID])
+        return bce_loss(logits, batch[self.LABEL].astype(jnp.float32),
+                        batch.get("_weight"))
+
+    def predict(self, params, batch):
+        return jax.nn.sigmoid(self._logits(params, batch, batch[self.ITEM_ID]))
+
+    def score_items(self, params, batch, items):
+        B, C = items.shape
+        seq = batch[self.ITEM_SEQ]
+        seq_len = batch[self.ITEM_SEQ_LEN]
+        rep = {self.ITEM_SEQ: jnp.repeat(seq, C, axis=0),
+               self.ITEM_SEQ_LEN: jnp.repeat(seq_len, C, axis=0)}
+        return self._logits(params, rep, items.reshape(-1)).reshape(B, C)

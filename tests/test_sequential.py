@@ -31,7 +31,7 @@ def test_seq_split_semantics(tmp_path):
     assert list(window) == ["i1", "i2", "i3", "i4"]
 
 
-@pytest.mark.parametrize("model", ["GRU4Rec", "SASRec", "STAMP", "FPMC", "NARM", "Caser", "NextItNet", "BERT4Rec", "TransRec", "HRM", "NPE", "FOSSIL", "SHAN", "HGN"])
+@pytest.mark.parametrize("model", ["GRU4Rec", "SASRec", "STAMP", "FPMC", "NARM", "Caser", "NextItNet", "BERT4Rec", "TransRec", "HRM", "NPE", "FOSSIL", "SHAN", "HGN", "SRGNN", "GCSAN", "RepeatNet"])
 def test_sequential_model_smoke(model, synth_dataset_dir, tmp_path):
     result = objective_function(
         config_dict={"model": model, "dataset": "synth",
@@ -44,6 +44,36 @@ def test_sequential_model_smoke(model, synth_dataset_dir, tmp_path):
         saved=False)
     tr = result["test_result"]
     assert tr and all(0.0 <= v <= 1.0 for v in tr.values())
+
+
+@pytest.mark.parametrize("model", ["GRU4RecF", "SASRecF", "FDSA", "DIN", "DIEN"])
+def test_feature_sequential_model_smoke(model, synth_dataset_dir, tmp_path):
+    """Feature-fused and CTR sequential models (item side features loaded via
+    the load_col '*' wildcard)."""
+    result = objective_function(
+        config_dict={"model": model, "dataset": "synth",
+                     "data_path": synth_dataset_dir,
+                     "checkpoint_dir": str(tmp_path / "saved"),
+                     "log_dir": str(tmp_path / "log"),
+                     "epochs": 1, "train_batch_size": 256,
+                     "state": "ERROR", "scan_epochs": False,
+                     "load_col": {"inter": ["user_id", "item_id", "rating",
+                                            "timestamp"], "item": "*"},
+                     "MAX_ITEM_LIST_LENGTH": 20},
+        saved=False)
+    tr = result["test_result"]
+    assert tr and all(0.0 <= v <= 1.0 for v in tr.values())
+
+
+def test_gru4recf_requires_features(synth_dataset_dir, tmp_path):
+    with pytest.raises(ValueError, match="item side features"):
+        objective_function(
+            config_dict={"model": "GRU4RecF", "dataset": "synth",
+                         "data_path": synth_dataset_dir,
+                         "checkpoint_dir": str(tmp_path / "saved"),
+                         "log_dir": str(tmp_path / "log"),
+                         "epochs": 1, "state": "ERROR"},
+            saved=False)
 
 
 def test_sasrec_bpr_loss_smoke(synth_dataset_dir, tmp_path):
