@@ -1,0 +1,129 @@
+"""GCMC: graph convolutional matrix completion.
+
+Parity target: reference GCMC (recbole/model/general_recommender/gcmc.py) —
+one-hot node features through factor weights (with identity features this is
+just selecting weight rows), symmetric-normalized bipartite propagation,
+shared dense layer, bilinear multi-basis decoder over class logits with
+2-class cross-entropy pairwise training.
+
+TPU re-design: the sparse A_hat @ H product is an edge-list
+gather -> scale -> segment_sum (same machinery as LightGCN); the one-hot
+feature x weight sparse matmuls collapse to row slices of the weight
+matrices.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..base import GeneralRecommender
+from ..layers import xavier_normal, dropout_apply
+from ...utils.enums import InputType
+from .. import register_model
+from .lightgcn import build_norm_adj
+
+
+@register_model("GCMC")
+class GCMC(GeneralRecommender):
+    input_type = InputType.PAIRWISE
+    default_config = {"accum": "stack", "gcn_output_dim": 500,
+                      "embedding_size": 64, "dropout_prob": 0.3,
+                      "sparse_feature": True, "class_num": 2,
+                      "num_basis_functions": 2, "training_neg_sample_num": 1}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.gcn_dim = config["gcn_output_dim"]
+        self.dense_dim = config["embedding_size"]
+        self.n_class = config["class_num"]
+        self.n_basis = config["num_basis_functions"]
+        self.dropout_prob = config["dropout_prob"]
+        self.num_all = self.n_users + self.n_items
+        src, dst, w = build_norm_adj(dataset.inter_matrix("csr"),
+                                     self.n_users, self.n_items)
+        self.edge_src = jnp.asarray(src)
+        self.edge_dst = jnp.asarray(dst)
+        self.edge_w = jnp.asarray(w)
+
+    def init_params(self, rng):
+        ks = jax.random.split(rng, 5 + self.n_basis)
+        params = {
+            "wu": xavier_normal(ks[0], (self.num_all, self.gcn_dim)),
+            "wv": xavier_normal(ks[1], (self.num_all, self.gcn_dim)),
+            "dense_w": xavier_normal(ks[2], (self.gcn_dim, self.dense_dim)),
+            "dense_b": jnp.zeros((self.dense_dim,)),
+            "dec_dense": xavier_normal(ks[3], (self.n_basis, self.n_class)),
+            "q": [],
+        }
+        for i in range(self.n_basis):
+            # orthogonal basis init (parity: gcmc.py orthogonal())
+            a = jax.random.normal(ks[4 + i], (self.dense_dim, self.dense_dim))
+            q, _ = jnp.linalg.qr(a)
+            params["q"].append(q)
+        return params
+
+    def _encode(self, params, rng=None):
+        # identity features: user_X @ Wu = Wu[:n_users], item_X @ Wv = Wv[n_users:]
+        h = jnp.concatenate([params["wu"][:self.n_users],
+                             params["wv"][self.n_users:]], axis=0)
+        msgs = h[self.edge_src] * self.edge_w[:, None]
+        agg = jax.ops.segment_sum(msgs, self.edge_dst,
+                                  num_segments=self.num_all)
+        agg = jax.nn.relu(agg)
+        if rng is not None and self.dropout_prob > 0:
+            rng, dk = jax.random.split(rng)
+            agg = dropout_apply(dk, agg, self.dropout_prob)
+        out = jax.nn.relu(jnp.dot(agg, params["dense_w"],
+                                  preferred_element_type=jnp.float32)
+                          + params["dense_b"])
+        return out[:self.n_users], out[self.n_users:]
+
+    def _class_logits(self, params, u_emb, i_emb):
+        """(B, n_class) bilinear multi-basis decoder."""
+        basis = [jnp.sum(jnp.dot(u_emb, q) * i_emb, axis=-1)
+                 for q in params["q"]]
+        basis = jnp.stack(basis, axis=1)                        # (B, n_basis)
+        return jnp.dot(basis, params["dec_dense"])              # (B, n_class)
+
+    def calculate_loss(self, params, batch, rng=None):
+        ue, ie = self._encode(params, rng)
+        user = batch[self.USER_ID]
+        pos_logits = self._class_logits(params, ue[user],
+                                        ie[batch[self.ITEM_ID]])
+        neg_logits = self._class_logits(params, ue[user],
+                                        ie[batch[self.NEG_ITEM_ID]])
+        logits = jnp.concatenate([pos_logits, neg_logits], axis=0)
+        target = jnp.concatenate(
+            [jnp.ones(user.shape[0], jnp.int32),
+             jnp.zeros(user.shape[0], jnp.int32)])
+        w = batch.get("_weight")
+        w2 = None if w is None else jnp.concatenate([w, w])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, target[:, None], 1)[:, 0]
+        if w2 is None:
+            return jnp.mean(nll)
+        return jnp.sum(nll * w2) / jnp.maximum(jnp.sum(w2), 1.0)
+
+    def _scores(self, params, user, items=None):
+        ue, ie = self._encode(params)
+        if items is None:
+            # all items: basis_k = (U Q_k) I^T
+            basis = [jnp.dot(jnp.dot(ue[user], q), ie.T,
+                             preferred_element_type=jnp.float32)
+                     for q in params["q"]]
+            basis = jnp.stack(basis, axis=-1)                   # (B, N, n_basis)
+            logits = jnp.dot(basis, params["dec_dense"])        # (B, N, n_class)
+            return logits[..., 1] - logits[..., 0]
+        logits = self._class_logits(params, ue[user], ie[items])
+        return logits[..., 1] - logits[..., 0]
+
+    def predict(self, params, batch):
+        return self._scores(params, batch[self.USER_ID], batch[self.ITEM_ID])
+
+    def full_sort_predict(self, params, batch):
+        return self._scores(params, batch[self.USER_ID])
+
+    def score_items(self, params, batch, items):
+        B, C = items.shape
+        user = jnp.repeat(batch[self.USER_ID], C, axis=0)
+        return self._scores(params, user, items.reshape(-1)).reshape(B, C)

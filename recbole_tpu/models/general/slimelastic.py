@@ -1,0 +1,88 @@
+"""SLIMElastic: sparse linear item-item model with ElasticNet regularization.
+
+Parity target: reference SLIMElastic
+(recbole/model/general_recommender/slimelastic.py) — per-item-column
+ElasticNet regression of X[:, j] on X (optionally hiding column j),
+non-negative coefficients, scores = X @ W.
+
+TPU re-design: the reference loops sklearn's coordinate descent over every
+item column on the host. Here ALL columns are solved simultaneously on
+device by proximal gradient descent (ISTA) on
+    0.5||X - XW||^2 + alpha*l1_ratio*||W||_1 + 0.5*alpha*(1-l1_ratio)||W||^2
+with the diagonal constrained to zero (hide_item) and an optional
+non-negativity projection — a few hundred (n_items x n_items) matmuls on the
+MXU instead of n_items sequential CPU solves.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ..base import GeneralRecommender
+from ...utils.enums import ModelType, InputType
+from .. import register_model
+
+
+@register_model("SLIMElastic")
+class SLIMElastic(GeneralRecommender):
+    type = ModelType.TRADITIONAL
+    input_type = InputType.POINTWISE
+    default_config = {"alpha": 0.2, "l1_ratio": 0.02, "positive_only": True,
+                      "hide_item": True, "slim_iters": 200,
+                      "training_neg_sample_num": 0}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.alpha = config["alpha"]
+        self.l1_ratio = config["l1_ratio"]
+        self.positive_only = config["positive_only"]
+        self.hide_item = config["hide_item"]
+        self.iters = config["slim_iters"]
+
+    def fit_params(self, rng, train_data):
+        mat = train_data.dataset.inter_matrix("csr")
+        X = jnp.asarray(mat.toarray(), jnp.float32)
+        n = X.shape[0]
+        # sklearn's ElasticNet objective scales the fit term by 1/(2n)
+        l1 = self.alpha * self.l1_ratio * n
+        l2 = self.alpha * (1.0 - self.l1_ratio) * n
+        S = jnp.dot(X.T, X, preferred_element_type=jnp.float32)
+        # Lipschitz constant of the smooth part ~ ||S||_2 + l2; use a cheap
+        # upper bound (max row sum) for the step size
+        L = jnp.max(jnp.sum(jnp.abs(S), axis=1)) + l2
+        eta = 1.0 / L
+        eye = jnp.eye(S.shape[0], dtype=bool)
+        positive_only = self.positive_only
+        hide_item = self.hide_item
+
+        def step(W, _):
+            grad = jnp.dot(S, W, preferred_element_type=jnp.float32) - S \
+                + l2 * W
+            W = W - eta * grad
+            # soft-threshold (l1 prox)
+            W = jnp.sign(W) * jnp.maximum(jnp.abs(W) - eta * l1, 0.0)
+            if positive_only:
+                W = jnp.maximum(W, 0.0)
+            if hide_item:
+                W = jnp.where(eye, 0.0, W)
+            return W, ()
+
+        W0 = jnp.zeros_like(S)
+        W, _ = jax.lax.scan(step, W0, None, length=self.iters)
+        return {"inter": X, "weight": W}
+
+    def init_params(self, rng):
+        return {"inter": jnp.zeros((self.n_users, self.n_items), jnp.float32),
+                "weight": jnp.zeros((self.n_items, self.n_items), jnp.float32)}
+
+    def calculate_loss(self, params, batch, rng=None):
+        return jnp.zeros(())
+
+    def predict(self, params, batch):
+        u_rows = params["inter"][batch[self.USER_ID]]
+        w_cols = params["weight"][:, batch[self.ITEM_ID]].T
+        return jnp.sum(u_rows * w_cols, axis=-1)
+
+    def full_sort_predict(self, params, batch):
+        u_rows = params["inter"][batch[self.USER_ID]]
+        return jnp.dot(u_rows, params["weight"],
+                       preferred_element_type=jnp.float32)

@@ -204,7 +204,9 @@ class Trainer:
 
         return augment
 
-    def _make_step_core(self, augment, loss_method):
+    def _make_step_core(self, augment, loss_method, optimizer=None):
+        optimizer = optimizer or self.optimizer
+
         def step_core(params, opt_state, rng, batch):
             rng, k_neg, k_loss = jax.random.split(rng, 3)
             batch = augment(batch, k_neg)
@@ -216,7 +218,7 @@ class Trainer:
                 return out, jnp.stack([out])
 
             (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state2 = self.optimizer.update(grads, opt_state, params)
+            updates, opt_state2 = optimizer.update(grads, opt_state, params)
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, rng, loss, parts
 
@@ -689,6 +691,90 @@ class MKRTrainer(Trainer):
         return rs + kg
 
 
+class RecVAETrainer(Trainer):
+    """Alternating encoder/decoder optimization (parity: reference
+    RecVAETrainer, trainer.py:938-1061): per outer epoch, n_enc_epochs passes
+    updating ONLY the encoder (dropout on), then update_prior (old encoder :=
+    live encoder), then n_dec_epochs passes updating ONLY the decoder
+    (dropout off). Each phase has its own optax.masked optimizer state, so
+    Adam moments never leak across subsets."""
+
+    def __init__(self, config, model):
+        super().__init__(config, model)
+        self.n_enc_epochs = config["n_enc_epochs"] or 3
+        self.n_dec_epochs = config["n_dec_epochs"] or 1
+        self._rv = None
+
+    def prepare(self, train_data):
+        if self.params is None:
+            self.rng, init_key = jax.random.split(self.rng)
+            self.params = self.model.init_params(init_key)
+        if self._rv is not None:
+            return
+        self._rv = {}
+        specs = {"enc": ("calculate_loss", "encoder"),
+                 "dec": ("calculate_loss_no_dropout", "decoder")}
+        augment = self._make_rec_augment(train_data)
+        for mode, (loss_name, part) in specs.items():
+            def mask_fn(p, part=part):
+                return {k: jax.tree.map(lambda _: k == part, v)
+                        for k, v in p.items()}
+
+            def inv_mask_fn(p, part=part):
+                return {k: jax.tree.map(lambda _: k != part, v)
+                        for k, v in p.items()}
+            # optax.masked passes the complement's updates through UNCHANGED
+            # (raw gradients!), so the complement must be explicitly zeroed
+            tx = optax.chain(
+                optax.masked(optax.set_to_zero(), inv_mask_fn),
+                optax.masked(build_optimizer(self.config), mask_fn))
+            step_core = self._make_step_core(
+                augment, getattr(self.model, loss_name), optimizer=tx)
+            bundle = {"tx": tx, "opt_state": tx.init(self.params),
+                      "step": jax.jit(step_core, donate_argnums=(0, 1)),
+                      "epoch_fn": None, "steps": 0, "columns": None}
+            if self.config["scan_epochs"] and self.plan is None \
+                    and hasattr(train_data, "columns"):
+                cols = train_data.columns()
+                bundle["columns"] = {f: jnp.asarray(v) for f, v in cols.items()}
+                bundle["epoch_fn"], bundle["steps"] = \
+                    self._make_epoch_fn(step_core, train_data)
+            self._rv[mode] = bundle
+
+    def _run_phase(self, train_data, mode):
+        bundle = self._rv[mode]
+        if bundle["epoch_fn"] is not None:
+            self.params, bundle["opt_state"], self.rng, _, parts = \
+                bundle["epoch_fn"](self.params, bundle["opt_state"], self.rng,
+                                   jnp.int32(self.global_step),
+                                   bundle["columns"])
+            self.global_step += bundle["steps"]
+            return float(np.sum(np.asarray(parts)))
+        total = 0.0
+        for batch in train_data:
+            batch = {f: jnp.asarray(v) for f, v in batch.items()}
+            batch["_step"] = jnp.int32(self.global_step)
+            self.global_step += 1
+            self.params, bundle["opt_state"], self.rng, loss, _ = \
+                bundle["step"](self.params, bundle["opt_state"], self.rng,
+                               batch)
+            total += float(loss)
+        return total
+
+    def _train_epoch(self, train_data, epoch_idx, mode=None):
+        enc_total = 0.0
+        for _ in range(self.n_enc_epochs):
+            enc_total += self._run_phase(train_data, "enc")
+        self.params = self.model.update_prior(self.params)
+        dec_total = 0.0
+        for _ in range(self.n_dec_epochs):
+            dec_total += self._run_phase(train_data, "dec")
+        total = enc_total + dec_total
+        if np.isnan(total):
+            raise ValueError(f"Training loss is nan at epoch {epoch_idx}")
+        return (enc_total, dec_total)
+
+
 TRAINER_REGISTRY = {}
 
 
@@ -704,7 +790,8 @@ def get_trainer(model_type, model_name):
     trainer, else type default (KNOWLEDGE -> KGTrainer)."""
     if model_name in TRAINER_REGISTRY:
         return TRAINER_REGISTRY[model_name]
-    builtin = {"KGAT": KGATTrainer, "MKR": MKRTrainer}
+    builtin = {"KGAT": KGATTrainer, "MKR": MKRTrainer,
+               "RecVAE": RecVAETrainer}
     if model_name in builtin:
         return builtin[model_name]
     if model_type is ModelType.TRADITIONAL:

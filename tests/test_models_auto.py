@@ -22,7 +22,9 @@ BASE = {
 
 GENERAL_MODELS = ["BPR", "Pop", "ItemKNN", "EASE", "MFSimple", "GMF", "MLP",
                   "NCF", "NeuMF", "LightGCN", "NGCF", "MultiVAE", "MultiDAE",
-                  "DMF", "FISM", "NAIS", "SpectralCF", "LINE", "CDAE"]
+                  "DMF", "FISM", "NAIS", "SpectralCF", "LINE", "CDAE",
+                  "ConvNCF", "ENMF", "MacridVAE", "RecVAE", "NNCF", "GCMC",
+                  "DGCF", "RaCT", "SLIMElastic"]
 
 
 @pytest.mark.parametrize("model", GENERAL_MODELS)
@@ -44,3 +46,24 @@ def test_all_general_models_registered():
     names = model_names()
     for m in GENERAL_MODELS:
         assert m in names
+
+
+def test_ract_three_stage(synth_dataset_dir, tmp_path):
+    """RaCT stage hand-off through pre_model_path checkpoints (parity:
+    reference RaCTTrainer 3-stage flow, trainer.py:804-863)."""
+    import glob
+    base = {"model": "RaCT", "dataset": "synth",
+            "data_path": synth_dataset_dir,
+            "checkpoint_dir": str(tmp_path / "saved"),
+            "log_dir": str(tmp_path / "log"), **BASE}
+    objective_function(config_dict={**base, "train_stage": "actor_pretrain"},
+                       saved=True)
+    ckpts = sorted(glob.glob(str(tmp_path / "saved" / "RaCT-*.ckpt")))
+    assert ckpts
+    objective_function(config_dict={**base, "train_stage": "critic_pretrain",
+                                    "pre_model_path": ckpts[-1]}, saved=True)
+    ckpts = sorted(glob.glob(str(tmp_path / "saved" / "RaCT-*.ckpt")))
+    result = objective_function(
+        config_dict={**base, "train_stage": "finetune",
+                     "pre_model_path": ckpts[-1]}, saved=False)
+    assert result["test_result"]
