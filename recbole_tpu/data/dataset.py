@@ -172,6 +172,7 @@ class Dataset:
         self._fill_nan()
         self._set_label_by_threshold()
         self._normalize()
+        self._preload_weight_matrix()
 
     def _inter_len(self):
         if not self.inter_feat:
@@ -441,6 +442,71 @@ class Dataset:
                 col = feat[key].astype(np.float32)
                 lo, hi = col.min(), col.max()
                 feat[key] = (col - lo) / (hi - lo) if hi > lo else np.zeros_like(col)
+
+    # ------------------------------------------------------- preload weights
+
+    def _preload_weight_matrix(self):
+        """Build pretrained-embedding matrices from additional feat files
+        (parity: dataset.py:423-480 + get_preload_weight:1670).
+
+        config ``preload_weight: {<id_field>: <value_field>}`` — an
+        additional_feat_suffix file holds (id token, float_seq vector) rows;
+        the matrix row index is the id's position in its vocabulary. The
+        vocabulary is the id field's own when it was remapped, otherwise the
+        known vocab (entity/item/user/relation/...) with the best token
+        hit-rate.
+        """
+        self._preloaded_weight = {}
+        preload = self.config["preload_weight"]
+        if not preload:
+            return
+        tables = []
+        for suffix in self.config["additional_feat_suffix"] or []:
+            tab = getattr(self, f"{suffix}_feat", None)
+            if tab is not None:
+                tables.append(tab)
+        for id_field, value_field in preload.items():
+            tab = next((t for t in tables
+                        if id_field in t and value_field in t), None)
+            if tab is None:
+                raise ValueError(
+                    f"preload_weight: no additional feat file contains both "
+                    f"{id_field!r} and {value_field!r} "
+                    f"(set additional_feat_suffix)")
+            tokens = np.asarray(tab[id_field]).astype(str)
+            vecs = tab[value_field]
+            dim = len(vecs[0]) if len(vecs) else 0
+            token2id = self._resolve_preload_vocab(id_field, tokens)
+            n_vocab = max(token2id.values(), default=0) + 1
+            matrix = np.zeros((max(n_vocab, 1), dim), np.float32)
+            for tok, vec in zip(tokens, vecs):
+                rid = token2id.get(tok)
+                if rid is not None:
+                    matrix[rid] = np.asarray(vec, np.float32)[:dim]
+            self._preloaded_weight[id_field] = matrix
+
+    def _resolve_preload_vocab(self, id_field, tokens):
+        if id_field in self.field2token_id:
+            return self.field2token_id[id_field]
+        space = (self.config["preload_weight_space"] or {}).get(id_field)
+        if space:
+            return self.field2token_id[space]
+        sample = set(tokens[:200].tolist())
+        best, best_hits = None, -1
+        for field, mapping in self.field2token_id.items():
+            hits = sum(1 for t in sample if t in mapping)
+            if hits > best_hits:
+                best, best_hits = mapping, hits
+        if best is None:
+            raise ValueError(f"preload_weight: cannot resolve a vocabulary "
+                             f"for {id_field!r}")
+        return best
+
+    def get_preload_weight(self, id_field):
+        """parity: reference get_preload_weight (dataset.py:1670)."""
+        if id_field not in getattr(self, "_preloaded_weight", {}):
+            raise ValueError(f"no preloaded weight for field {id_field!r}")
+        return self._preloaded_weight[id_field]
 
     # ------------------------------------------------------------- vocab API
 

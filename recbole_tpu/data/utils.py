@@ -22,6 +22,9 @@ from ..utils.logger import get_logger
 def create_dataset(config):
     """Pick the Dataset subclass by model type (parity: data/utils.py:27-55)."""
     model_type = config["MODEL_TYPE"]
+    if config["model"] in ("GRU4RecKG", "KSR"):
+        from .kg_seq_dataset import KGSeqDataset
+        return KGSeqDataset(config)
     if model_type is ModelType.SEQUENTIAL:
         from .seq_dataset import SequentialDataset
         return SequentialDataset(config)

@@ -691,6 +691,36 @@ class MKRTrainer(Trainer):
         return rs + kg
 
 
+class S3RecTrainer(Trainer):
+    """Two-stage loop policy (parity: reference S3RecTrainer,
+    trainer.py:511-567): pretrain = epochs without validation, checkpoint
+    every save_step epochs; finetune = the normal fit loop."""
+
+    def fit(self, train_data, valid_data=None, verbose=True, saved=True,
+            show_progress=False, callback_fn=None):
+        if getattr(self.model, "train_stage", "finetune") != "pretrain":
+            return super().fit(train_data, valid_data, verbose, saved,
+                               show_progress, callback_fn)
+        if saved:
+            ensure_dir(self.checkpoint_dir)
+        self.prepare(train_data)
+        save_step = self.config["save_step"] or 10
+        for epoch_idx in range(self.start_epoch, self.epochs):
+            t0 = time.time()
+            loss = self._train_epoch(train_data, epoch_idx)
+            if verbose:
+                loss_val = sum(loss) if isinstance(loss, tuple) else loss
+                self.logger.info("pretrain epoch %d [time: %.2fs, loss: %.4f]",
+                                 epoch_idx, time.time() - t0, loss_val)
+            if saved and ((epoch_idx + 1) % save_step == 0
+                          or epoch_idx == self.epochs - 1):
+                self._save_checkpoint(epoch_idx)
+                if verbose:
+                    self.logger.info("Saving pretrained model: %s",
+                                     self.saved_model_file)
+        return self.best_valid_score, self.best_valid_result
+
+
 class RecVAETrainer(Trainer):
     """Alternating encoder/decoder optimization (parity: reference
     RecVAETrainer, trainer.py:938-1061): per outer epoch, n_enc_epochs passes
@@ -791,7 +821,7 @@ def get_trainer(model_type, model_name):
     if model_name in TRAINER_REGISTRY:
         return TRAINER_REGISTRY[model_name]
     builtin = {"KGAT": KGATTrainer, "MKR": MKRTrainer,
-               "RecVAE": RecVAETrainer}
+               "RecVAE": RecVAETrainer, "S3Rec": S3RecTrainer}
     if model_name in builtin:
         return builtin[model_name]
     if model_type is ModelType.TRADITIONAL:

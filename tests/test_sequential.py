@@ -65,6 +65,74 @@ def test_feature_sequential_model_smoke(model, synth_dataset_dir, tmp_path):
     assert tr and all(0.0 <= v <= 1.0 for v in tr.values())
 
 
+@pytest.mark.parametrize("model", ["GRU4RecKG", "KSR"])
+def test_kg_sequential_model_smoke(model, synth_dataset_dir, tmp_path):
+    """KG-enhanced sequential models on the KGSeqDataset diamond (random
+    entity init fallback — preload path covered below)."""
+    result = objective_function(
+        config_dict={"model": model, "dataset": "synth",
+                     "data_path": synth_dataset_dir,
+                     "checkpoint_dir": str(tmp_path / "saved"),
+                     "log_dir": str(tmp_path / "log"),
+                     "epochs": 1, "train_batch_size": 256,
+                     "state": "ERROR", "scan_epochs": False,
+                     "MAX_ITEM_LIST_LENGTH": 20},
+        saved=False)
+    assert result["test_result"]
+
+
+def test_preload_weight_gru4reckg(tmp_path):
+    """preload_weight pipeline: additional feat file -> entity matrix ->
+    frozen entity GRU (parity: dataset.py:423-480 + gru4reckg.py:33,71)."""
+    import numpy as np
+    from tests.synth_data import make_synthetic_dataset
+    root = str(tmp_path / "data")
+    ds_dir = make_synthetic_dataset(root, name="synth")
+    rng = np.random.RandomState(0)
+    with open(f"{ds_dir}/synth.ent", "w") as fh:
+        fh.write("ent_id:token\tent_vec:float_seq\n")
+        for i in range(1, 101):
+            vec = " ".join(f"{v:.4f}" for v in rng.randn(8))
+            fh.write(f"e{i}\t{vec}\n")
+    result = objective_function(
+        config_dict={"model": "GRU4RecKG", "dataset": "synth",
+                     "data_path": root,
+                     "checkpoint_dir": str(tmp_path / "saved"),
+                     "log_dir": str(tmp_path / "log"),
+                     "epochs": 1, "train_batch_size": 256, "state": "ERROR",
+                     "scan_epochs": False, "MAX_ITEM_LIST_LENGTH": 20,
+                     "embedding_size": 8,
+                     "additional_feat_suffix": ["ent"],
+                     "preload_weight": {"ent_id": "ent_vec"},
+                     "load_col": {"inter": ["user_id", "item_id", "rating",
+                                            "timestamp"],
+                                  "ent": ["ent_id", "ent_vec"]}},
+        saved=False)
+    assert result["test_result"]
+
+
+def test_s3rec_two_stage(synth_dataset_dir, tmp_path):
+    """S3Rec pretrain -> finetune hand-off (parity: S3RecTrainer,
+    trainer.py:511-567)."""
+    import glob
+    base = {"dataset": "synth", "data_path": synth_dataset_dir,
+            "checkpoint_dir": str(tmp_path / "saved"),
+            "log_dir": str(tmp_path / "log"),
+            "epochs": 1, "train_batch_size": 256, "state": "ERROR",
+            "scan_epochs": False, "MAX_ITEM_LIST_LENGTH": 20,
+            "load_col": {"inter": ["user_id", "item_id", "rating",
+                                   "timestamp"], "item": "*"}}
+    objective_function(config_dict={"model": "S3Rec",
+                                    "train_stage": "pretrain",
+                                    "save_step": 1, **base}, saved=True)
+    ck = sorted(glob.glob(str(tmp_path / "saved" / "S3Rec-*.ckpt")))
+    assert ck
+    result = objective_function(
+        config_dict={"model": "S3Rec", "train_stage": "finetune",
+                     "pre_model_path": ck[-1], **base}, saved=False)
+    assert result["test_result"]
+
+
 def test_gru4recf_requires_features(synth_dataset_dir, tmp_path):
     with pytest.raises(ValueError, match="item side features"):
         objective_function(
