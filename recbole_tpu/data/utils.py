@@ -31,6 +31,9 @@ def create_dataset(config):
     if model_type is ModelType.KNOWLEDGE:
         from .kg_dataset import KnowledgeBasedDataset
         return KnowledgeBasedDataset(config)
+    if model_type is ModelType.SOCIAL:
+        from .social_dataset import SocialDataset
+        return SocialDataset(config)
     return Dataset(config)
 
 

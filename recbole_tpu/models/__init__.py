@@ -11,7 +11,7 @@ import pkgutil
 
 _REGISTRY = {}
 _LOADED = False
-_CATEGORIES = ("general", "sequential", "context", "knowledge")
+_CATEGORIES = ("general", "sequential", "context", "knowledge", "exlib")
 
 
 def register_model(name):

@@ -456,7 +456,8 @@ class Trainer:
 
     # ------------------------------------------------------------- evaluation
 
-    def _make_full_sort_eval_step(self, eval_data, metrics, max_k):
+    def _make_full_sort_eval_step(self, eval_data, metrics, max_k,
+                                  needs_gauc=False):
         model = self.model
         uid_f = self.config["USER_ID_FIELD"]
         iid_f = self.config["ITEM_ID_FIELD"]
@@ -510,11 +511,18 @@ class Trainer:
                 .at[rows, pos_items].max((jnp.arange(pos_items.shape[1])[None, :]
                                           < pos_len[:, None]).astype(jnp.int32))
             pos_index = jnp.take_along_axis(pos_matrix, topk_idx, axis=1)
-            return topk_metric_sums(metrics, pos_index, pos_len, mask)
+            sums = topk_metric_sums(metrics, pos_index, pos_len, mask)
+            if needs_gauc:
+                from ..evaluator.evaluator import gauc_metric_sums
+                user_len = jnp.full((B,), n_items, jnp.float32)
+                sums.update(gauc_metric_sums(scores, pos_matrix, pos_len,
+                                             user_len, mask))
+            return sums
 
         return eval_step
 
-    def _make_sampled_eval_step(self, eval_data, metrics, max_k):
+    def _make_sampled_eval_step(self, eval_data, metrics, max_k,
+                                needs_gauc=False):
         model = self.model
         cfg = self.config
         uid_f = cfg["USER_ID_FIELD"]
@@ -556,7 +564,16 @@ class Trainer:
             # simple index compare (replaces the reference's flip/swap trick,
             # general_dataloader.py:319-328 + evaluators.py:134)
             pos_index = (topk_idx < pos_len[:, None]).astype(jnp.int32)
-            return topk_metric_sums(metrics, pos_index, pos_len, mask)
+            sums = topk_metric_sums(metrics, pos_index, pos_len, mask)
+            if needs_gauc:
+                from ..evaluator.evaluator import gauc_metric_sums
+                C = cand.shape[1]
+                pos_01 = (jnp.arange(C)[None, :]
+                          < pos_len[:, None]).astype(jnp.int32)
+                user_len = (pos_len * (1 + k)).astype(jnp.float32)
+                sums.update(gauc_metric_sums(scores, pos_01, pos_len,
+                                             user_len, mask))
+            return sums
 
         return eval_step
 
@@ -587,18 +604,20 @@ class Trainer:
             return self._evaluate_individual(eval_data)
 
         collector = TopKCollector(self.config)
-        metrics = tuple(collector.metrics)
+        metrics = tuple(collector.topk_metrics)
         max_k = collector.max_k
+        needs_gauc = collector.needs_gauc
 
         sampled = hasattr(eval_data, "neg_k")
-        key = (id(eval_data), metrics, max_k, type(eval_data).__name__)
+        key = (id(eval_data), metrics, max_k, needs_gauc,
+               type(eval_data).__name__)
         if key not in self._eval_step_cache:
             if sampled:
                 self._eval_step_cache[key] = self._make_sampled_eval_step(
-                    eval_data, metrics, max_k)
+                    eval_data, metrics, max_k, needs_gauc)
             else:
                 self._eval_step_cache[key] = self._make_full_sort_eval_step(
-                    eval_data, metrics, max_k)
+                    eval_data, metrics, max_k, needs_gauc)
         step = self._eval_step_cache[key]
 
         for batch in eval_data:
@@ -689,6 +708,108 @@ class MKRTrainer(Trainer):
         rs = rs_loss if isinstance(rs_loss, tuple) else (rs_loss,)
         kg = kg_loss if isinstance(kg_loss, tuple) else (kg_loss,)
         return rs + kg
+
+
+class DecisionTreeTrainer(Trainer):
+    """Host-side gradient-boosted-tree bridge (parity: reference
+    DecisionTreeTrainer / xgboostTrainer / lightgbmTrainer,
+    trainer.py:610-935): interactions become a feature matrix (token fields
+    as integer codes, optional sparse one-hot above token_num_threshold),
+    training runs through the native xgb.train / lgb.train with their own
+    early stopping, evaluation feeds (label, prediction) pairs into the
+    value-metric collector."""
+
+    def __init__(self, config, model):
+        super().__init__(config, model)
+        self.label_field = config["LABEL_FIELD"]
+        self.convert_onehot = config["convert_token_to_onehot"]
+        self.flavor = "xgb" if config["model"].lower() == "xgboost" else "lgb"
+        self.booster = None
+
+    def _matrix(self, dataset):
+        from ..utils.enums import FeatureType
+        cols, names = [], []
+        for f, v in dataset.inter_feat.items():
+            if f == self.label_field or v.dtype == object:
+                continue
+            names.append(f)
+            cols.append(np.asarray(v, np.float32))
+        X = np.stack(cols, axis=1) if cols else np.zeros((len(dataset), 0))
+        y = np.asarray(dataset.inter_feat.get(
+            self.label_field, np.zeros(len(dataset))), np.float32)
+        if self.convert_onehot:
+            import scipy.sparse as sp
+            parts = []
+            full = dataset if not hasattr(dataset, "parent") else dataset
+            for j, f in enumerate(names):
+                ftype = full.field2type.get(f)
+                vocab = (full.num(f) if ftype is FeatureType.TOKEN else 0)
+                if 0 < vocab <= self.config["token_num_threshold"]:
+                    ids = X[:, j].astype(np.int64)
+                    parts.append(sp.csr_matrix(
+                        (np.ones(len(ids), np.float32),
+                         (np.arange(len(ids)), ids)),
+                        shape=(len(ids), vocab)))
+                else:
+                    parts.append(sp.csr_matrix(X[:, j:j + 1]))
+            X = sp.hstack(parts).tocsr()
+        return X, y
+
+    def fit(self, train_data, valid_data=None, verbose=True, saved=True,
+            show_progress=False, callback_fn=None):
+        if saved:
+            ensure_dir(self.checkpoint_dir)
+        Xtr, ytr = self._matrix(train_data.dataset)
+        evals = []
+        if valid_data is not None:
+            Xva, yva = self._matrix(valid_data.dataset)
+        if self.flavor == "xgb":
+            import xgboost as xgb
+            dtr = xgb.DMatrix(Xtr, label=ytr,
+                              missing=self.config["xgb_missing"])
+            watch = [(dtr, "train")]
+            if valid_data is not None:
+                watch.append((xgb.DMatrix(Xva, label=yva), "valid"))
+            self.booster = xgb.train(
+                self.config["xgb_params"], dtr,
+                num_boost_round=self.config["xgb_num_boost_round"],
+                evals=watch,
+                early_stopping_rounds=self.config["xgb_early_stopping_rounds"],
+                verbose_eval=self.config["xgb_verbose_eval"])
+            if saved:
+                self.booster.save_model(self.saved_model_file)
+        else:
+            import lightgbm as lgb
+            dtr = lgb.Dataset(Xtr, label=ytr)
+            sets = [dtr]
+            if valid_data is not None:
+                sets.append(lgb.Dataset(Xva, label=yva, reference=dtr))
+            self.booster = lgb.train(
+                self.config["lgb_params"], dtr,
+                num_boost_round=self.config["lgb_num_boost_round"],
+                valid_sets=sets)
+            if saved:
+                self.booster.save_model(self.saved_model_file)
+        if valid_data is not None:
+            self.best_valid_result = self.evaluate(valid_data,
+                                                   load_best_model=False)
+            self.best_valid_score = calculate_valid_score(
+                self.best_valid_result, self.valid_metric)
+        return self.best_valid_score, self.best_valid_result
+
+    def evaluate(self, eval_data, load_best_model=True, model_file=None,
+                 show_progress=False):
+        if self.booster is None:
+            raise RuntimeError("no trained booster — call fit() first")
+        X, y = self._matrix(eval_data.dataset)
+        if self.flavor == "xgb":
+            import xgboost as xgb
+            preds = self.booster.predict(xgb.DMatrix(X))
+        else:
+            preds = self.booster.predict(X)
+        collector = ValueCollector(self.config)
+        collector.collect(y, preds)
+        return collector.evaluate()
 
 
 class S3RecTrainer(Trainer):
@@ -826,6 +947,8 @@ def get_trainer(model_type, model_name):
         return builtin[model_name]
     if model_type is ModelType.TRADITIONAL:
         return TraditionalTrainer
+    if model_type is ModelType.DECISIONTREE:
+        return DecisionTreeTrainer
     if model_type is ModelType.KNOWLEDGE:
         return KGTrainer
     return Trainer

@@ -1,0 +1,135 @@
+"""Auxiliary subsystem tests: hyper search, case study, social dataset,
+decision-tree bridge registration."""
+
+import os
+
+import numpy as np
+import pytest
+
+from recbole_tpu import objective_function
+from recbole_tpu.utils.hyper_tuning import HyperTuning
+
+
+def test_hyper_tuning_exhaustive(synth_dataset_dir, tmp_path):
+    """Grid search over 2 embedding sizes picks a best param set and exports
+    results (parity: reference HyperTuning + exhaustive_search)."""
+    params_file = tmp_path / "hyper.test"
+    params_file.write_text("embedding_size choice [8,16]\n")
+
+    def objective(config_dict, config_file_list):
+        config_dict.update({
+            "model": "BPR", "dataset": "synth",
+            "data_path": synth_dataset_dir,
+            "checkpoint_dir": str(tmp_path / "saved"),
+            "log_dir": str(tmp_path / "log"),
+            "epochs": 1, "state": "ERROR", "scan_epochs": False,
+        })
+        return objective_function(config_dict=config_dict,
+                                  config_file_list=config_file_list,
+                                  saved=False)
+
+    hp = HyperTuning(objective, params_file=str(params_file),
+                     algo="exhaustive", max_evals=4)
+    hp.run()
+    assert hp.best_params is not None
+    assert hp.best_params["embedding_size"] in (8, 16)
+    assert len(hp.params2result) == 2
+    out = tmp_path / "hyper.result"
+    hp.export_result(str(out))
+    assert "Test result" in out.read_text()
+
+
+def test_hyper_tuning_file_formats(tmp_path):
+    f = tmp_path / "p.test"
+    f.write_text("learning_rate loguniform -8,0\n"
+                 "embedding_size choice [64,96]\n"
+                 "dropout quniform 0.0,0.9,0.1\n"
+                 "alpha uniform 0,1\n")
+    hp = HyperTuning(lambda cd, cfl: None, params_file=str(f), algo="random",
+                     max_evals=1)
+    kinds = {p.name: p.kind for p in hp.params}
+    assert kinds == {"learning_rate": "loguniform",
+                     "embedding_size": "choice",
+                     "dropout": "quniform", "alpha": "uniform"}
+    rng = np.random.RandomState(0)
+    lr = [p for p in hp.params if p.name == "learning_rate"][0].sample(rng)
+    assert np.exp(-8) <= lr <= 1.0
+
+
+def test_case_study_topk(synth_dataset_dir, tmp_path):
+    """full_sort_topk excludes train/valid history and returns k item ids
+    (parity: reference case_study.py:23-88)."""
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.data.utils import create_dataset, data_preparation
+    from recbole_tpu.models import get_model
+    from recbole_tpu.trainer.trainer import get_trainer
+    from recbole_tpu.utils.case_study import full_sort_topk
+
+    cfg = Config("BPR", "synth", config_dict={
+        "data_path": synth_dataset_dir, "state": "ERROR",
+        "checkpoint_dir": str(tmp_path / "saved"),
+        "log_dir": str(tmp_path / "log"),
+        "epochs": 1, "scan_epochs": False}, _parse_cmd_line=False)
+    ds = create_dataset(cfg)
+    train, valid, test = data_preparation(cfg, ds)
+    model = get_model("BPR")(cfg, train.dataset)
+    trainer = get_trainer(cfg["MODEL_TYPE"], "BPR")(cfg, model)
+    trainer.fit(train, None, verbose=False, saved=False)
+
+    uids = np.array([1, 2, 3])
+    scores, topk = full_sort_topk(uids, model, trainer.params, test, k=5)
+    assert scores.shape == (3, 5) and topk.shape == (3, 5)
+    assert (topk != 0).all()  # PAD never recommended
+    # masked history: no recommended item may be in the user's train history
+    hist, hlen = ds.history_item_matrix()
+    for r, u in enumerate(uids):
+        seen = set(hist[u][:hlen[u]].tolist())
+        assert not seen.intersection(topk[r].tolist())
+
+
+def test_social_dataset(tmp_path):
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.data.social_dataset import SocialDataset
+
+    root = tmp_path / "data" / "soc"
+    os.makedirs(root)
+    with open(root / "soc.inter", "w") as fh:
+        fh.write("user_id:token\titem_id:token\trating:float\ttimestamp:float\n")
+        for u in range(1, 5):
+            for i in range(1, 4):
+                fh.write(f"u{u}\ti{i}\t5\t{u * 10 + i}\n")
+    with open(root / "soc.net", "w") as fh:
+        fh.write("source_id:token\ttarget_id:token\n")
+        fh.write("u1\tu2\nu2\tu3\nu3\tu4\n")
+    cfg = Config("BPR", "soc", config_dict={
+        "data_path": str(tmp_path / "data"), "state": "ERROR",
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+    }, _parse_cmd_line=False)
+    ds = SocialDataset(cfg)
+    assert ds.net_num == 3
+    mat = ds.net_matrix()
+    assert mat.shape == (ds.user_num, ds.user_num)
+    assert mat.nnz == 3
+    # source/target remapped into the user id space
+    u1 = ds.token2id("user_id", "u1")
+    u2 = ds.token2id("user_id", "u2")
+    assert mat.tocsr()[u1, u2] == 1.0
+
+
+def test_exlib_models_registered_and_gated():
+    from recbole_tpu.models import model_names, get_model
+    names = model_names()
+    assert "xgboost" in names and "lightgbm" in names
+    try:
+        import xgboost  # noqa: F401
+        has_xgb = True
+    except ImportError:
+        has_xgb = False
+    if not has_xgb:
+        with pytest.raises(ImportError, match="xgboost"):
+            get_model("xgboost")(_FakeConfig(), None)
+
+
+class _FakeConfig(dict):
+    def __getitem__(self, k):
+        return self.get(k)

@@ -84,3 +84,24 @@ def test_value_metrics():
         math.sqrt((0.04 + 0.16 + 0.16) / 3), rel=1e-4)
     expect_ll = -(math.log(0.8) + math.log(0.6) + math.log(0.6)) / 3
     assert float(log_loss_(trues, preds)) == pytest.approx(expect_ll, rel=1e-4)
+
+
+def test_gauc_closed_form():
+    """GAUC per the reference formula (metrics.py:167-220): M=2, N=3,
+    positives at descending ranks 1 and 3 -> AUC = 5/6."""
+    from recbole_tpu.evaluator.evaluator import gauc_metric_sums
+    scores = jnp.array([[5.0, 4.0, 3.0, 2.0, 1.0]])
+    pos = jnp.array([[1, 0, 1, 0, 0]], dtype=jnp.int32)
+    out = gauc_metric_sums(scores, pos, jnp.array([2]), jnp.array([5.0]),
+                           jnp.array([1.0]))
+    assert float(out["gauc_num"]) / float(out["gauc_den"]) == pytest.approx(5 / 6, rel=1e-5)
+
+
+def test_gauc_ties_and_degenerate_users():
+    from recbole_tpu.evaluator.evaluator import gauc_metric_sums
+    # all-tied scores -> AUC 0.5; second row all-positive -> excluded
+    scores = jnp.array([[2.0, 2.0, 2.0, 2.0], [3.0, 2.0, 1.0, 0.0]])
+    pos = jnp.array([[1, 0, 1, 0], [1, 1, 1, 1]], dtype=jnp.int32)
+    out = gauc_metric_sums(scores, pos, jnp.array([2, 4]),
+                           jnp.array([4.0, 4.0]), jnp.array([1.0, 1.0]))
+    assert float(out["gauc_num"]) / float(out["gauc_den"]) == pytest.approx(0.5)
