@@ -507,13 +507,19 @@ class Trainer:
                 hvalid = jnp.arange(uh.shape[1])[None, :] < hlen[user_id][:, None]
                 scores = scores.at[rows, uh].add(jnp.where(hvalid, NEG_INF, 0.0))
             _, topk_idx = jax.lax.top_k(scores, max_k)
-            pos_matrix = jnp.zeros((B, n_items), jnp.int32) \
-                .at[rows, pos_items].max((jnp.arange(pos_items.shape[1])[None, :]
-                                          < pos_len[:, None]).astype(jnp.int32))
-            pos_index = jnp.take_along_axis(pos_matrix, topk_idx, axis=1)
+            # top-k hit flags via direct (B, K, P) id comparison — no
+            # (B, n_items) positive matrix materializes (the reference's
+            # flip/swap machinery and our earlier scatter both did)
+            pos_valid = (jnp.arange(pos_items.shape[1])[None, :]
+                         < pos_len[:, None])
+            pos_index = jnp.any(
+                (topk_idx[:, :, None] == pos_items[:, None, :])
+                & pos_valid[:, None, :], axis=-1).astype(jnp.int32)
             sums = topk_metric_sums(metrics, pos_index, pos_len, mask)
             if needs_gauc:
                 from ..evaluator.evaluator import gauc_metric_sums
+                pos_matrix = jnp.zeros((B, n_items), jnp.int32) \
+                    .at[rows, pos_items].max(pos_valid.astype(jnp.int32))
                 user_len = jnp.full((B,), n_items, jnp.float32)
                 sums.update(gauc_metric_sums(scores, pos_matrix, pos_len,
                                              user_len, mask))
