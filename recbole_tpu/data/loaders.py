@@ -353,6 +353,92 @@ class FullSortEvalLoader:
             yield {"user_id": u, "pos_items": p, "pos_len": l, "_mask": mask}
 
 
+class DatasetNegEvalLoader:
+    """Ranking evaluation against the dataset's OWN labeled negatives.
+
+    Parity target: the fork's GeneralNegFromDatasetDataLoader
+    (general_dataloader.py:53-129) — per user, the candidate list is their
+    label==1 rows (positives first) followed by their label==0 rows; pos_len
+    and user_len come from the data, no sampling.
+    """
+
+    mask_history = False
+
+    def __init__(self, config, dataset, n_items, batch_size=None):
+        self.config = config
+        self.n_items = n_items
+        uid_f = config["USER_ID_FIELD"]
+        iid_f = config["ITEM_ID_FIELD"]
+        label_f = config["LABEL_FIELD"]
+        if label_f not in dataset.inter_feat:
+            raise ValueError("eval_use_dataset_negatives requires a label "
+                             "column in the dataset")
+        uids = np.asarray(dataset.inter_feat[uid_f])
+        iids = np.asarray(dataset.inter_feat[iid_f])
+        labels = np.asarray(dataset.inter_feat[label_f]) > 0.5
+
+        def group(u, i):
+            order = np.argsort(u, kind="stable")
+            u, i = u[order], i[order]
+            users, starts = np.unique(u, return_index=True)
+            counts = np.diff(np.append(starts, len(u)))
+            width = int(counts.max()) if len(counts) else 1
+            mat = np.zeros((len(users), width), np.int32)
+            for r, (s, c) in enumerate(zip(starts, counts)):
+                mat[r, :c] = i[s:s + c]
+            return users, mat, counts.astype(np.int32)
+
+        pu, pos, plen = group(uids[labels], iids[labels])
+        nu, neg, nlen = group(uids[~labels], iids[~labels])
+        # align on users with at least one positive (reference keeps all
+        # users; pos-less users contribute nothing to grouped metrics)
+        neg_of = {int(u): r for r, u in enumerate(nu)}
+        nw = neg.shape[1]
+        self.users = pu.astype(np.int32)
+        self.pos_items, self.pos_len = pos, plen
+        self.neg_items = np.zeros((len(pu), nw), np.int32)
+        self.neg_len = np.zeros(len(pu), np.int32)
+        for r, u in enumerate(pu):
+            j = neg_of.get(int(u))
+            if j is not None:
+                self.neg_items[r] = neg[j]
+                self.neg_len[r] = nlen[j]
+        self.max_pos = pos.shape[1]
+        self.max_neg = nw
+        if batch_size is None:
+            width = max(self.max_pos + self.max_neg, 1)
+            budget = (config["eval_batch_size"] or 4096) * 4096
+            batch_size = int(np.clip(budget // width, 4, 4096))
+            batch_size = min(batch_size, max(len(self.users), 4))
+        self.batch_size = batch_size
+
+    @property
+    def n_eval_users(self):
+        return len(self.users)
+
+    def __len__(self):
+        return (len(self.users) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        B = self.batch_size
+        for start in range(0, len(self.users), B):
+            sl = slice(start, start + B)
+            arrs = {"user_id": self.users[sl], "pos_items": self.pos_items[sl],
+                    "pos_len": self.pos_len[sl],
+                    "neg_items": self.neg_items[sl],
+                    "neg_len": self.neg_len[sl]}
+            cnt = len(arrs["user_id"])
+            pad = B - cnt
+            mask = np.ones(B, np.float32)
+            if pad:
+                for k2, v in arrs.items():
+                    arrs[k2] = np.concatenate(
+                        [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                mask[-pad:] = 0.0
+            arrs["_mask"] = mask
+            yield arrs
+
+
 class SampledEvalLoader(FullSortEvalLoader):
     """Sampled ranking evaluation (uni<k>/pop<k> presets).
 

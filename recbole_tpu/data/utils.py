@@ -112,6 +112,9 @@ def _make_eval_loader(config, split_ds, full_ds, neg_args, sequential=False):
     if config["eval_type"] is EvaluatorType.INDIVIDUAL:
         from .loaders import RowEvalLoader
         return RowEvalLoader(config, split_ds)
+    if config["eval_use_dataset_negatives"] and not sequential:
+        from .loaders import DatasetNegEvalLoader
+        return DatasetNegEvalLoader(config, split_ds, full_ds.item_num)
     if sequential:
         from .loaders import SequentialEvalLoader, SequentialSampledEvalLoader
         if neg_args["strategy"] == "full":

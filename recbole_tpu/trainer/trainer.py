@@ -161,13 +161,48 @@ class Trainer:
         if neg_args.get("distribution") == "popularity":
             pop = jnp.asarray(train_data.phase_history.pop_items["train"])
 
+        use_dataset_negs = cfg["train_use_dataset_negatives"]
+        bothway = cfg["train_use_bothway_sampler"]
+        k3 = max(int(round(k / 3)), 1) if bothway else 0
+
         def augment(batch, rng):
             """Device-side batch shaping (parity: NegSampleByMixin semantics,
-            neg_sample_mixin.py:104-124)."""
+            neg_sample_mixin.py:104-124; fork variants data/utils.py:244-252)."""
             if transform is not None:
                 batch = transform(batch)
-            if k == 0 or input_type is InputType.LISTWISE:
+            if use_dataset_negs or k == 0 \
+                    or input_type is InputType.LISTWISE:
+                # labeled rows used as-is (fork GeneralNegFromDatasetDataLoader)
                 return batch
+            if bothway:
+                # fork GeneralNegSampleBothWaysDataloader
+                # (custom_dataloaders.py:16-44): label-1 rows get k sampled
+                # negatives (label 0); label-0 rows get round(k/3) sampled
+                # pseudo-positives (label 1). Fixed shapes: both expansions
+                # are emitted for every row and gated by _weight.
+                B = batch[uid_f].shape[0]
+                label = batch[label_f].astype(jnp.float32)
+                w = batch.get("_weight", jnp.ones(B))
+                r1, r2 = jax.random.split(rng)
+                negs = sample_negatives(r1, batch[uid_f], hist, hlen,
+                                        n_items, k, rounds=rounds)
+                pseudo = sample_negatives(r2, batch[uid_f], hist, hlen,
+                                          n_items, k3, rounds=rounds)
+                out = {}
+                for f, v in batch.items():
+                    if v.ndim == 0:
+                        out[f] = v
+                        continue
+                    reps = jnp.concatenate(
+                        [v] + [v] * k + [v] * k3, axis=0)
+                    out[f] = reps
+                out[iid_f] = jnp.concatenate(
+                    [batch[iid_f], negs.T.reshape(-1), pseudo.T.reshape(-1)])
+                out[label_f] = jnp.concatenate(
+                    [label, jnp.zeros(B * k), jnp.ones(B * k3)])
+                out["_weight"] = jnp.concatenate(
+                    [w, jnp.tile(w * label, k), jnp.tile(w * (1 - label), k3)])
+                return out
             if repeatable:
                 negs = sample_negatives_unchecked(
                     rng, (batch[uid_f].shape[0], k), n_items, pop_items=pop)
@@ -413,7 +448,29 @@ class Trainer:
                     self.logger.info("Finished training, best eval result in epoch %d",
                                      epoch_idx - cur_step * self.eval_step)
                 break
+        if self.config["draw_loss_pic"]:
+            self.plot_train_loss(
+                save_path=self.saved_model_file.replace(".ckpt", ".pdf"))
         return self.best_valid_score, self.best_valid_result
+
+    def plot_train_loss(self, show=False, save_path=None):
+        """Training-loss curve (parity: reference plot_train_loss,
+        trainer.py:430-452, gated by draw_loss_pic)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        epochs = sorted(self.train_loss_dict)
+        values = [float(self.train_loss_dict[e]) for e in epochs]
+        plt.figure()
+        plt.plot(epochs, values)
+        plt.xticks(epochs)
+        plt.xlabel("Epoch")
+        plt.ylabel("Loss")
+        if show:
+            plt.show()
+        if save_path:
+            plt.savefig(save_path)
+        plt.close()
 
     # ------------------------------------------------------------- checkpoint
 
@@ -565,6 +622,11 @@ class Trainer:
             cand_valid = jnp.concatenate([pos_valid, neg_valid], axis=1)
             scores = model.score_items(params, batch, cand)
             scores = jnp.where(cand_valid, scores.astype(jnp.float32), NEG_INF)
+            if scores.shape[1] < max_k:
+                # fork top-k padding fix (abstract_evaluator.py:71-74)
+                scores = jnp.pad(scores,
+                                 ((0, 0), (0, max_k - scores.shape[1])),
+                                 constant_values=NEG_INF)
             _, topk_idx = jax.lax.top_k(scores, max_k)
             # positives sit in the first pos_len slots — rank membership is a
             # simple index compare (replaces the reference's flip/swap trick,
@@ -577,6 +639,53 @@ class Trainer:
                 pos_01 = (jnp.arange(C)[None, :]
                           < pos_len[:, None]).astype(jnp.int32)
                 user_len = (pos_len * (1 + k)).astype(jnp.float32)
+                sums.update(gauc_metric_sums(scores, pos_01, pos_len,
+                                             user_len, mask))
+            return sums
+
+        return eval_step
+
+    def _make_labeled_eval_step(self, eval_data, metrics, max_k,
+                                needs_gauc=False):
+        """Ranking over the dataset's own labeled candidates (fork
+        GeneralNegFromDatasetDataLoader protocol)."""
+        model = self.model
+        uid_f = self.config["USER_ID_FIELD"]
+
+        @jax.jit
+        def eval_step(params, batch):
+            pos_items = batch.pop("pos_items")
+            pos_len = batch.pop("pos_len")
+            neg_items = batch.pop("neg_items")
+            neg_len = batch.pop("neg_len")
+            mask = batch.pop("_mask")
+            P = pos_items.shape[1]
+            cand = jnp.concatenate([pos_items, neg_items], axis=1)
+            pos_valid = jnp.arange(P)[None, :] < pos_len[:, None]
+            neg_valid = (jnp.arange(neg_items.shape[1])[None, :]
+                         < neg_len[:, None])
+            cand_valid = jnp.concatenate([pos_valid, neg_valid], axis=1)
+            scores = model.score_items(params, batch, cand)
+            scores = jnp.where(cand_valid, scores.astype(jnp.float32), NEG_INF)
+            if scores.shape[1] < max_k:
+                # candidate list narrower than max(topk): pad with -inf
+                # (parity: fork top-k padding fix, abstract_evaluator.py:71-74)
+                scores = jnp.pad(scores,
+                                 ((0, 0), (0, max_k - scores.shape[1])),
+                                 constant_values=NEG_INF)
+            _, topk_idx = jax.lax.top_k(scores, max_k)
+            pos_index = (topk_idx < pos_len[:, None]).astype(jnp.int32)
+            sums = topk_metric_sums(metrics, pos_index, pos_len, mask)
+            if needs_gauc:
+                from ..evaluator.evaluator import gauc_metric_sums
+                pos_01 = jnp.concatenate(
+                    [pos_valid.astype(jnp.int32),
+                     jnp.zeros_like(neg_valid, jnp.int32)], axis=1)
+                if pos_01.shape[1] < scores.shape[1]:
+                    pos_01 = jnp.pad(
+                        pos_01,
+                        ((0, 0), (0, scores.shape[1] - pos_01.shape[1])))
+                user_len = (pos_len + neg_len).astype(jnp.float32)
                 sums.update(gauc_metric_sums(scores, pos_01, pos_len,
                                              user_len, mask))
             return sums
@@ -615,15 +724,27 @@ class Trainer:
         needs_gauc = collector.needs_gauc
 
         sampled = hasattr(eval_data, "neg_k")
+        labeled = hasattr(eval_data, "neg_items")
         key = (id(eval_data), metrics, max_k, needs_gauc,
                type(eval_data).__name__)
         if key not in self._eval_step_cache:
-            if sampled:
+            if labeled:
+                self._eval_step_cache[key] = self._make_labeled_eval_step(
+                    eval_data, metrics, max_k, needs_gauc)
+            elif sampled:
                 self._eval_step_cache[key] = self._make_sampled_eval_step(
                     eval_data, metrics, max_k, needs_gauc)
             else:
                 self._eval_step_cache[key] = self._make_full_sort_eval_step(
                     eval_data, metrics, max_k, needs_gauc)
+        step = self._eval_step_cache[key]
+        if labeled:
+            for batch in eval_data:
+                batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
+                sums = step(self.params, batch)
+                collector.collect({k2: np.asarray(v)
+                                   for k2, v in sums.items()})
+            return collector.evaluate()
         step = self._eval_step_cache[key]
 
         for batch in eval_data:

@@ -133,3 +133,38 @@ def test_exlib_models_registered_and_gated():
 class _FakeConfig(dict):
     def __getitem__(self, k):
         return self.get(k)
+
+
+def _labeled_base(synth_dataset_dir, tmp_path):
+    return {"dataset": "synth", "data_path": synth_dataset_dir,
+            "checkpoint_dir": str(tmp_path / "saved"),
+            "log_dir": str(tmp_path / "log"),
+            "epochs": 1, "train_batch_size": 256, "state": "ERROR",
+            "scan_epochs": False,
+            "load_col": {"inter": ["user_id", "item_id", "rating",
+                                   "timestamp"]},
+            "threshold": {"rating": 3}}
+
+
+def test_dataset_negatives_workflow(synth_dataset_dir, tmp_path):
+    """Fork labeled workflow (SURVEY §2.9.1): train on the dataset's labeled
+    rows as-is, rank against the dataset's own negatives; candidate lists
+    narrower than max(topk) exercise the fork's -inf padding fix."""
+    r = objective_function(
+        config_dict={"model": "MFSimple",
+                     **_labeled_base(synth_dataset_dir, tmp_path),
+                     "train_use_dataset_negatives": True,
+                     "eval_use_dataset_negatives": True}, saved=False)
+    tr = r["test_result"]
+    assert tr and all(0.0 <= v <= 1.0 for v in tr.values())
+
+
+def test_bothway_sampler_workflow(synth_dataset_dir, tmp_path):
+    """Fork both-ways sampler (custom_dataloaders.py:8-50): positives get k
+    sampled negatives, negatives get k/3 sampled pseudo-positives."""
+    r = objective_function(
+        config_dict={"model": "MFSimple",
+                     **_labeled_base(synth_dataset_dir, tmp_path),
+                     "train_use_bothway_sampler": True,
+                     "training_neg_sample_num": 3}, saved=False)
+    assert r["test_result"]
