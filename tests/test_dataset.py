@@ -161,3 +161,50 @@ def test_inter_matrix(tmp_path):
     m = ds.inter_matrix("csr")
     assert m.shape == (ds.user_num, ds.item_num)
     assert m.nnz == 2
+
+
+def test_benchmark_filename_bypass(tmp_path):
+    """Pre-split benchmark files skip filtering/splitting and slice back by
+    stored lengths (parity: dataset.py:229-249, 1390-1393)."""
+    import numpy as np
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.config.eval_setting import EvalSetting
+    from recbole_tpu.data.dataset import Dataset
+
+    d = os.path.join(str(tmp_path), "bm")
+    os.makedirs(d)
+    hdr = "user_id:token\titem_id:token\trating:float\n"
+    parts = {"train": [("u1", "i1"), ("u1", "i2"), ("u2", "i1")],
+             "valid": [("u1", "i3")],
+             "test": [("u2", "i2")]}
+    for part, rows in parts.items():
+        with open(os.path.join(d, f"bm.{part}.inter"), "w") as fh:
+            fh.write(hdr)
+            for u, i in rows:
+                fh.write(f"{u}\t{i}\t5\n")
+    cfg = Config("BPR", "bm", config_dict={
+        "data_path": str(tmp_path), "state": "ERROR",
+        "benchmark_filename": ["train", "valid", "test"],
+        "load_col": {"inter": ["user_id", "item_id", "rating"]},
+    }, _parse_cmd_line=False)
+    ds = Dataset(cfg)
+    train, valid, test = ds.build(EvalSetting(cfg))
+    assert len(train) == 3 and len(valid) == 1 and len(test) == 1
+    assert ds.id2token("item_id", np.asarray(valid.inter_feat["item_id"]))[0] == "i3"
+
+
+def test_dataset_save_load(tmp_path):
+    rows = [f"u{u}\ti{i}\t5\t{u * 10 + i}" for u in range(1, 4)
+            for i in range(1, 4)]
+    root = write_ds(str(tmp_path), "sv", rows)
+    cfg = Config("BPR", "sv", config_dict={
+        "data_path": root, "state": "ERROR",
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+    }, _parse_cmd_line=False)
+    ds = Dataset(cfg)
+    out = str(tmp_path / "saved_ds")
+    ds.save(out)
+    import pickle
+    with open(os.path.join(out, "sv-dataset.pkl"), "rb") as fh:
+        ds2 = pickle.load(fh)
+    assert ds2.user_num == ds.user_num and ds2.inter_num == ds.inter_num
