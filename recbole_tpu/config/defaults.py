@@ -61,6 +61,10 @@ EVALUATION_DEFAULTS = {
     "valid_metric": "MRR@10",
     "valid_metric_bigger": True,
     "eval_batch_size": 4096,
+    # fused full-sort eval (models exposing full_sort_query): score in
+    # bfloat16 on the MXU and/or use the Pallas streaming top-k kernel
+    "eval_score_dtype": "float32",
+    "use_pallas_topk": False,
     "loss_decimal_place": 4,
     "metric_decimal_place": 4,
     # fork behavior (reference data/utils.py:84-88): when eval is full-sort and no

@@ -141,6 +141,12 @@ class SequentialRecommender(AbstractRecommender):
         return jnp.dot(out, self._item_table(params).T,
                        preferred_element_type=jnp.float32)
 
+    def full_sort_query(self, params, batch):
+        """(query (B, D), item_table (N, D)) for models whose full-sort is a
+        plain dot product — lets the trainer fuse scoring + masking + top-k
+        (bf16 MXU path / Pallas streaming kernel) without the (B, N) matrix."""
+        return self.forward(params, batch), self._item_table(params)
+
 
 class KnowledgeRecommender(AbstractRecommender):
     type = ModelType.KNOWLEDGE

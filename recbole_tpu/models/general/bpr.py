@@ -49,3 +49,8 @@ class BPR(GeneralRecommender):
         u = embed(params["user_embedding"], batch[self.USER_ID])
         return jnp.dot(u, params["item_embedding"].T,
                        preferred_element_type=jnp.float32)
+
+    def full_sort_query(self, params, batch):
+        """Dot-product structure exposed for the fused eval path."""
+        return (embed(params["user_embedding"], batch[self.USER_ID]),
+                params["item_embedding"])

@@ -529,6 +529,47 @@ class Trainer:
                          is not AbstractRecommender.full_sort_predict
                          and not getattr(model, "full_sort_fallback", False))
 
+        # fused path: for dot-product models, score+mask+top-k without the
+        # (B, n_items) matrix leaving the fusion (bf16 MXU and/or Pallas)
+        use_bf16 = str(self.config["eval_score_dtype"]).lower() == "bfloat16"
+        use_pallas = bool(self.config["use_pallas_topk"])
+        fused = ((use_bf16 or use_pallas) and not needs_gauc
+                 and hasattr(model, "full_sort_query")
+                 and not getattr(model, "full_sort_fallback", False))
+        if fused:
+            from ..ops.masked_topk import masked_topk
+
+            @jax.jit
+            def fused_eval_step(params, batch):
+                pos_items = batch.pop("pos_items")
+                pos_len = batch.pop("pos_len")
+                mask = batch.pop("_mask")
+                if transform is not None:
+                    batch = transform(batch)
+                user_id = batch[uid_f]
+                B = user_id.shape[0]
+                query, table = model.full_sort_query(params, batch)
+                if use_bf16:
+                    query = query.astype(jnp.bfloat16)
+                    table = table.astype(jnp.bfloat16)
+                invalid = jnp.zeros((B, n_items), jnp.int8).at[:, 0].set(1)
+                if mask_history:
+                    uh = hist[user_id]
+                    hvalid = (jnp.arange(uh.shape[1])[None, :]
+                              < hlen[user_id][:, None])
+                    invalid = invalid.at[jnp.arange(B)[:, None], uh].max(
+                        hvalid.astype(jnp.int8))
+                _, topk_idx = masked_topk(query, table, invalid, max_k,
+                                          prefer_pallas=use_pallas)
+                pos_valid = (jnp.arange(pos_items.shape[1])[None, :]
+                             < pos_len[:, None])
+                pos_index = jnp.any(
+                    (topk_idx[:, :, None] == pos_items[:, None, :])
+                    & pos_valid[:, None, :], axis=-1).astype(jnp.int32)
+                return topk_metric_sums(metrics, pos_index, pos_len, mask)
+
+            return fused_eval_step
+
         def all_item_scores(params, batch):
             if has_full_sort:
                 return model.full_sort_predict(params, batch)

@@ -168,3 +168,20 @@ def test_bothway_sampler_workflow(synth_dataset_dir, tmp_path):
                      "train_use_bothway_sampler": True,
                      "training_neg_sample_num": 3}, saved=False)
     assert r["test_result"]
+
+
+def test_fused_bf16_eval_matches_f32(synth_dataset_dir, tmp_path):
+    """The fused full_sort_query eval path (bf16 MXU scoring + id-compare
+    hit test) must reproduce the exact-path metrics."""
+    base = {"model": "BPR", "dataset": "synth",
+            "data_path": synth_dataset_dir,
+            "checkpoint_dir": str(tmp_path / "saved"),
+            "log_dir": str(tmp_path / "log"),
+            "epochs": 2, "state": "ERROR", "scan_epochs": False,
+            "seed": 42, "valid_full_to_uni1000": False}
+    r1 = objective_function(config_dict=dict(base), saved=False)
+    r2 = objective_function(config_dict={**base,
+                                         "eval_score_dtype": "bfloat16"},
+                            saved=False)
+    for k, v in r1["test_result"].items():
+        assert abs(v - r2["test_result"][k]) < 0.02, (k, v, r2["test_result"][k])
