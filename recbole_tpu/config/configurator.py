@@ -177,6 +177,13 @@ class Config:
 
         vm = str(f.get("valid_metric", "MRR@10")).split("@")[0].lower()
         f["valid_metric_bigger"] = vm not in SMALLER_IS_BETTER
+        # fail at config time, not after the first training epoch
+        metric_names = {m.lower().split("@")[0] for m in f["metrics"]}
+        if vm not in metric_names:
+            raise ValueError(
+                f"valid_metric {f.get('valid_metric')!r} is not among "
+                f"metrics {f['metrics']} — add it to `metrics` or change "
+                "`valid_metric`")
 
         f["device"] = "tpu"  # jax picks the platform; key kept for compat
 

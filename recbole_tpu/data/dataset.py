@@ -616,7 +616,13 @@ class Dataset:
             perm = np.random.permutation(n)
             self._apply_inter_mask(perm)
         elif ordering["strategy"] == "by":
-            order = np.argsort(self.inter_feat[ordering["field"]], kind="stable")
+            field = ordering["field"]
+            if field not in self.inter_feat:
+                raise ValueError(
+                    f"temporal ordering needs field {field!r} — add it to "
+                    f"load_col (e.g. load_col: {{inter: [user_id, item_id, "
+                    f"{field}]}})")
+            order = np.argsort(self.inter_feat[field], kind="stable")
             self._apply_inter_mask(order)
 
         split = eval_setting.split_args

@@ -364,7 +364,12 @@ class Trainer:
             return tuple(total.tolist()) if len(total) > 1 else float(total[0])
 
         total = None
-        for batch in bundle["loader"]:
+        loader = bundle["loader"]
+        if getattr(self, "_show_progress", False):
+            from tqdm import tqdm
+            loader = tqdm(loader, total=len(loader),
+                          desc=set_color(f"Train {epoch_idx:>5}", "pink"))
+        for batch in loader:
             batch = dict(batch)
             batch["_step"] = np.int32(self.global_step)
             self.global_step += 1
@@ -399,6 +404,7 @@ class Trainer:
             show_progress=False, callback_fn=None):
         if saved:
             ensure_dir(self.checkpoint_dir)
+        self._show_progress = show_progress
         self.prepare(train_data)
 
         if saved and self.start_epoch >= self.epochs:
