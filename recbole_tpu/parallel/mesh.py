@@ -75,6 +75,10 @@ class ShardingPlan:
         data_size = self.mesh.shape["data"]
         out = {}
         for k, v in batch.items():
+            v = np.asarray(v)
+            if v.ndim == 0:  # scalars (e.g. _step) replicate
+                out[k] = jax.device_put(v, self.replicated())
+                continue
             b = v.shape[0]
             rem = (-b) % data_size
             if rem:

@@ -56,3 +56,28 @@ print("distributed topk ok")
     r = _run(code)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "distributed topk ok" in r.stdout
+
+
+def test_mesh_sharded_training_fit():
+    """Full fit + eval through the trainer's ShardingPlan path
+    (config mesh_shape) on a 4x2 virtual mesh."""
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import tempfile, os
+from tests.synth_data import make_synthetic_dataset
+from recbole_tpu import objective_function
+root = tempfile.mkdtemp()
+make_synthetic_dataset(root, name="synth", with_kg=False)
+r = objective_function(config_dict={
+    "model": "BPR", "dataset": "synth", "data_path": root,
+    "checkpoint_dir": os.path.join(root, "s"), "log_dir": os.path.join(root, "l"),
+    "epochs": 1, "train_batch_size": 256, "state": "ERROR",
+    "mesh_shape": {"data": 4, "model": 2}, "shard_item_embeddings": True,
+    "valid_full_to_uni1000": False}, saved=False)
+assert r["test_result"], r
+print("mesh fit ok", r["test_result"])
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mesh fit ok" in r.stdout
