@@ -65,6 +65,9 @@ EVALUATION_DEFAULTS = {
     # bfloat16 on the MXU and/or use the Pallas streaming top-k kernel
     "eval_score_dtype": "float32",
     "use_pallas_topk": False,
+    # persistent XLA compilation cache (set None to disable); repeated runs
+    # of the same model/shape skip the multi-second TPU compile entirely
+    "compilation_cache_dir": "/tmp/recbole_tpu_xla_cache",
     "loss_decimal_place": 4,
     "metric_decimal_place": 4,
     # fork behavior (reference data/utils.py:84-88): when eval is full-sort and no

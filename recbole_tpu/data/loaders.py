@@ -103,11 +103,18 @@ class ArrayTrainLoader:
 def make_seq_transform(item_stream, max_len, seq_field, len_field):
     """Device-side padded-sequence materialization from the global stream:
     replaces the reference's per-row Python `augmentation` loop
-    (sequential_dataloader.py:115-146) with one gather inside the jitted step."""
-    import jax.numpy as jnp
-    stream = jnp.asarray(item_stream)
+    (sequential_dataloader.py:115-146) with one gather inside the jitted step.
 
-    def transform(batch):
+    The stream is NOT captured as a closure constant (multi-MB XLA literals
+    compile pathologically slowly on remote-compile backends); it rides in
+    the transform's ``consts`` dict, which the trainer threads through the
+    jitted step as an argument.
+    """
+    import jax.numpy as jnp
+    consts = {"item_stream": jnp.asarray(item_stream)}
+
+    def transform(batch, consts):
+        stream = consts["item_stream"]
         offs = jnp.arange(max_len, dtype=jnp.int32)
         idx = batch["seq_start"][:, None] + offs[None, :]
         valid = offs[None, :] < batch[len_field][:, None]
@@ -116,6 +123,7 @@ def make_seq_transform(item_stream, max_len, seq_field, len_field):
         out[seq_field] = seq
         return out
 
+    transform.consts = consts
     return transform
 
 

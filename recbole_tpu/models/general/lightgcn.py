@@ -49,11 +49,9 @@ class LightGCN(GeneralRecommender):
         self.embedding_size = config["embedding_size"]
         self.n_layers = config["n_layers"]
         self.reg_weight = config["reg_weight"]
-        src, dst, w = build_norm_adj(dataset.inter_matrix("csr"),
-                                     self.n_users, self.n_items)
-        self.edge_src = jnp.asarray(src)
-        self.edge_dst = jnp.asarray(dst)
-        self.edge_w = jnp.asarray(w)
+        from ...ops.graph import BipartiteProp
+        self.prop = BipartiteProp(dataset.inter_matrix("csr"),
+                                  self.n_users, self.n_items)
         self.n_nodes = self.n_users + self.n_items
 
     def init_params(self, rng):
@@ -61,6 +59,7 @@ class LightGCN(GeneralRecommender):
         return {
             "user_embedding": xavier_uniform(ku, (self.n_users, self.embedding_size)),
             "item_embedding": xavier_uniform(ki, (self.n_items, self.embedding_size)),
+            "_const": self.prop.init_consts(),
         }
 
     def propagate(self, params):
@@ -69,9 +68,7 @@ class LightGCN(GeneralRecommender):
         acc = ego
         x = ego
         for _ in range(self.n_layers):
-            msgs = x[self.edge_src] * self.edge_w[:, None]
-            x = jax.ops.segment_sum(msgs, self.edge_dst,
-                                    num_segments=self.n_nodes)
+            x = self.prop(params["_const"], x)
             acc = acc + x
         final = acc / (self.n_layers + 1)
         return final[:self.n_users], final[self.n_users:]

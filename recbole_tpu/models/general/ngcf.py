@@ -30,11 +30,9 @@ class NGCF(GeneralRecommender):
         self.hidden = list(config["hidden_size_list"])
         self.message_dropout = config["message_dropout"]
         self.reg_weight = config["reg_weight"]
-        src, dst, w = build_norm_adj(dataset.inter_matrix("csr"),
-                                     self.n_users, self.n_items)
-        self.edge_src = jnp.asarray(src)
-        self.edge_dst = jnp.asarray(dst)
-        self.edge_w = jnp.asarray(w)
+        from ...ops.graph import BipartiteProp
+        self.prop = BipartiteProp(dataset.inter_matrix("csr"),
+                                  self.n_users, self.n_items)
         self.n_nodes = self.n_users + self.n_items
 
     def init_params(self, rng):
@@ -43,6 +41,7 @@ class NGCF(GeneralRecommender):
             "user_embedding": xavier_uniform(ks[0], (self.n_users, self.embedding_size)),
             "item_embedding": xavier_uniform(ks[1], (self.n_items, self.embedding_size)),
             "gnn": [],
+            "_const": self.prop.init_consts(),
         }
         dims = [self.embedding_size] + self.hidden
         for li in range(len(self.hidden)):
@@ -54,16 +53,15 @@ class NGCF(GeneralRecommender):
             })
         return params
 
-    def _spmm(self, x):
-        msgs = x[self.edge_src] * self.edge_w[:, None]
-        return jax.ops.segment_sum(msgs, self.edge_dst, num_segments=self.n_nodes)
+    def _spmm(self, params, x):
+        return self.prop(params["_const"], x)
 
     def propagate(self, params, rng=None):
         x = jnp.concatenate([params["user_embedding"],
                              params["item_embedding"]], axis=0)
         outs = [x]
         for layer in params["gnn"]:
-            lx = self._spmm(x)
+            lx = self._spmm(params, x)
             sum_part = jnp.dot(x + lx, layer["w1"],
                                preferred_element_type=jnp.float32) + layer["b1"]
             bi_part = jnp.dot(lx * x, layer["w2"],

@@ -27,11 +27,9 @@ class SpectralCF(GeneralRecommender):
         self.embedding_size = config["embedding_size"]
         self.n_layers = config["n_layers"]
         self.reg_weight = config["reg_weight"]
-        src, dst, w = build_norm_adj(dataset.inter_matrix("csr"),
-                                     self.n_users, self.n_items)
-        self.edge_src = jnp.asarray(src)
-        self.edge_dst = jnp.asarray(dst)
-        self.edge_w = jnp.asarray(w)
+        from ...ops.graph import BipartiteProp
+        self.prop = BipartiteProp(dataset.inter_matrix("csr"),
+                                  self.n_users, self.n_items)
         self.n_nodes = self.n_users + self.n_items
 
     def init_params(self, rng):
@@ -42,6 +40,7 @@ class SpectralCF(GeneralRecommender):
             "item_embedding": xavier_uniform(ks[1], (self.n_items, D)),
             "filters": [xavier_uniform(ks[2 + i], (D, D))
                         for i in range(self.n_layers)],
+            "_const": self.prop.init_consts(),
         }
 
     def propagate(self, params):
@@ -49,8 +48,7 @@ class SpectralCF(GeneralRecommender):
                              params["item_embedding"]], 0)
         outs = [x]
         for w in params["filters"]:
-            ax = jax.ops.segment_sum(x[self.edge_src] * self.edge_w[:, None],
-                                     self.edge_dst, num_segments=self.n_nodes)
+            ax = self.prop(params["_const"], x)
             x = jax.nn.sigmoid(jnp.dot(x + ax, w,
                                        preferred_element_type=jnp.float32))
             outs.append(x)

@@ -11,13 +11,14 @@ from .data.utils import create_dataset, data_preparation
 from .models import get_model
 from .trainer.trainer import get_trainer
 from .utils.logger import init_logger, get_logger
-from .utils.utils import init_seed
+from .utils.utils import init_seed, init_jax
 
 
 def run_recbole(model=None, dataset=None, config_file_list=None, config_dict=None,
                 saved=True, _parse_cmd_line=False):
     config = Config(model=model, dataset=dataset, config_file_list=config_file_list,
                     config_dict=config_dict, _parse_cmd_line=_parse_cmd_line)
+    init_jax(config)
     init_seed(config["seed"], config["reproducibility"])
     logger = init_logger(config)
     logger.info(config)
@@ -56,6 +57,7 @@ def run_recbole(model=None, dataset=None, config_file_list=None, config_dict=Non
 def objective_function(config_dict=None, config_file_list=None, saved=True):
     config = Config(config_file_list=config_file_list, config_dict=config_dict,
                     _parse_cmd_line=False)
+    init_jax(config)
     init_seed(config["seed"], config["reproducibility"])
     init_logger(config)
 

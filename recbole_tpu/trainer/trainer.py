@@ -116,28 +116,32 @@ class Trainer:
         tail_f = cfg["TAIL_ENTITY_ID_FIELD"]
         neg_tail_f = cfg["NEG_PREFIX"] + tail_f
         rounds = cfg["neg_sampling_resample_rounds"]
-        kg_cols = {f: jnp.asarray(v) for f, v in train_data.kg_columns.items()}
-        head_hist = jnp.asarray(train_data.kg_head_history[0])
-        head_hlen = jnp.asarray(train_data.kg_head_history[1])
+        consts = {
+            "kg_cols": {f: jnp.asarray(v)
+                        for f, v in train_data.kg_columns.items()},
+            "kg_head_hist": jnp.asarray(train_data.kg_head_history[0]),
+            "kg_head_hlen": jnp.asarray(train_data.kg_head_history[1]),
+        }
         n_entities = train_data.n_entities
         n_kg = int(train_data.kg_columns[head_f].shape[0])
 
-        def kg_augment(batch, rng):
+        def kg_augment(batch, rng, consts):
             rng, kidx, kneg = jax.random.split(rng, 3)
             if include_rec:
                 B = batch["_weight"].shape[0]
                 idx = jax.random.randint(kidx, (B,), 0, n_kg, dtype=jnp.int32)
                 out = dict(batch)
-                for f, col in kg_cols.items():
+                for f, col in consts["kg_cols"].items():
                     out[f] = col[idx]
             else:
                 out = dict(batch)
-            negs = sample_negatives(kneg, out[head_f], head_hist, head_hlen,
+            negs = sample_negatives(kneg, out[head_f], consts["kg_head_hist"],
+                                    consts["kg_head_hlen"],
                                     n_entities, 1, rounds=rounds)
             out[neg_tail_f] = negs[:, 0]
             return out
 
-        return kg_augment
+        return kg_augment, consts
 
     def _make_rec_augment(self, train_data):
         model = self.model
@@ -151,25 +155,34 @@ class Trainer:
         neg_f = cfg["NEG_PREFIX"] + iid_f
         label_f = cfg["LABEL_FIELD"]
 
-        hist, hlen = train_data.phase_history.device_tables("train")
+        t_hist, t_hlen = train_data.phase_history.device_tables("train")
         n_items = train_data.n_items
         # sequential models sample without used-id exclusion — items may repeat
         # in a history (parity: RepeatableSampler, sampler.py:341-420)
         repeatable = model.type is ModelType.SEQUENTIAL
         transform = getattr(train_data, "device_transform", None)
-        pop = None
-        if neg_args.get("distribution") == "popularity":
-            pop = jnp.asarray(train_data.phase_history.pop_items["train"])
+        # device tables ride in the consts argument, NOT jit closures —
+        # multi-MB XLA literals compile pathologically slowly (85s vs <1s
+        # measured for a 2.3MB literal on the remote compile service)
+        consts = {"hist": t_hist, "hlen": t_hlen}
+        if transform is not None:
+            consts.update(transform.consts)
+        has_pop = neg_args.get("distribution") == "popularity"
+        if has_pop:
+            consts["pop"] = jnp.asarray(
+                train_data.phase_history.pop_items["train"])
 
         use_dataset_negs = cfg["train_use_dataset_negatives"]
         bothway = cfg["train_use_bothway_sampler"]
         k3 = max(int(round(k / 3)), 1) if bothway else 0
 
-        def augment(batch, rng):
+        def augment(batch, rng, consts):
             """Device-side batch shaping (parity: NegSampleByMixin semantics,
             neg_sample_mixin.py:104-124; fork variants data/utils.py:244-252)."""
+            hist, hlen = consts["hist"], consts["hlen"]
+            pop = consts.get("pop") if has_pop else None
             if transform is not None:
-                batch = transform(batch)
+                batch = transform(batch, consts)
             if use_dataset_negs or k == 0 \
                     or input_type is InputType.LISTWISE:
                 # labeled rows used as-is (fork GeneralNegFromDatasetDataLoader)
@@ -237,14 +250,14 @@ class Trainer:
                 out[label_f] = jnp.concatenate([pos_label, jnp.zeros(B * k)])
             return out
 
-        return augment
+        return augment, consts
 
     def _make_step_core(self, augment, loss_method, optimizer=None):
         optimizer = optimizer or self.optimizer
 
-        def step_core(params, opt_state, rng, batch):
+        def step_core(params, opt_state, rng, batch, consts):
             rng, k_neg, k_loss = jax.random.split(rng, 3)
-            batch = augment(batch, k_neg)
+            batch = augment(batch, k_neg, consts)
 
             def loss_fn(p):
                 out = loss_method(p, batch, k_loss)
@@ -272,7 +285,7 @@ class Trainer:
         shuffle = getattr(loader, "shuffle", True)
 
         @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
-        def epoch_fn(params, opt_state, rng, step0, data):
+        def epoch_fn(params, opt_state, rng, step0, data, consts):
             rng, kperm = jax.random.split(rng)
             if shuffle:
                 perm = jax.random.permutation(kperm, Npad)
@@ -287,7 +300,7 @@ class Trainer:
                 batch["_weight"] = valid.astype(jnp.float32)
                 batch["_step"] = step
                 params, opt_state, rng, _, parts = step_core(
-                    params, opt_state, rng, batch)
+                    params, opt_state, rng, batch, consts)
                 return (params, opt_state, rng, step + 1), parts
 
             (params, opt_state, rng, step), parts = jax.lax.scan(
@@ -310,32 +323,35 @@ class Trainer:
         model = self.model
         if mode == "rs":
             loader = train_data
-            augment = self._make_rec_augment(train_data)
+            augment, consts = self._make_rec_augment(train_data)
             loss_method = model.calculate_loss
         elif mode == "kg":
             from ..data.loaders import ArrayTrainLoader
             loader = ArrayTrainLoader(self.config, train_data.kg_columns)
-            augment = self._make_kg_augment(train_data, include_rec=False)
+            augment, consts = self._make_kg_augment(train_data,
+                                                    include_rec=False)
             loss_method = model.calculate_kg_loss
         elif mode == "rskg":
             loader = train_data
-            rec_aug = self._make_rec_augment(train_data)
-            kg_aug = self._make_kg_augment(train_data, include_rec=True)
+            rec_aug, rec_consts = self._make_rec_augment(train_data)
+            kg_aug, kg_consts = self._make_kg_augment(train_data,
+                                                      include_rec=True)
+            consts = {**rec_consts, **kg_consts}
 
-            def augment(batch, rng):
+            def augment(batch, rng, consts):
                 r1, r2 = jax.random.split(rng)
-                return kg_aug(rec_aug(batch, r1), r2)
+                return kg_aug(rec_aug(batch, r1, consts), r2, consts)
             loss_method = model.calculate_loss
         elif mode == "rs_only_loss":
             loader = train_data
-            augment = self._make_rec_augment(train_data)
+            augment, consts = self._make_rec_augment(train_data)
             loss_method = model.calculate_rs_loss
         else:
             raise ValueError(f"unknown train mode {mode!r}")
 
         step_core = self._make_step_core(augment, loss_method)
         train_step = jax.jit(step_core, donate_argnums=(0, 1))
-        bundle = {"step": train_step, "loader": loader,
+        bundle = {"step": train_step, "loader": loader, "consts": consts,
                   "epoch_fn": None, "steps": 0, "columns": None}
         if (self.config["scan_epochs"] and self.plan is None
                 and hasattr(loader, "columns")):
@@ -356,7 +372,8 @@ class Trainer:
         if bundle["epoch_fn"] is not None:
             self.params, self.opt_state, self.rng, _, parts = bundle["epoch_fn"](
                 self.params, self.opt_state, self.rng,
-                jnp.int32(self.global_step), bundle["columns"])
+                jnp.int32(self.global_step), bundle["columns"],
+                bundle["consts"])
             self.global_step += bundle["steps"]
             total = np.asarray(parts)
             if np.isnan(total).any():
@@ -378,7 +395,8 @@ class Trainer:
             else:
                 batch = {f: jnp.asarray(v) for f, v in batch.items()}
             self.params, self.opt_state, self.rng, loss, parts = \
-                bundle["step"](self.params, self.opt_state, self.rng, batch)
+                bundle["step"](self.params, self.opt_state, self.rng, batch,
+                               bundle["consts"])
             total = parts if total is None else total + parts
         if total is None:
             return 0.0
@@ -387,6 +405,26 @@ class Trainer:
             raise ValueError(f"Training loss is nan at epoch {epoch_idx}")
         return tuple(total.tolist()) if len(total) > 1 else float(total[0])
 
+    def _mask_const_subtree(self):
+        """Exclude the model's params["_const"] subtree (dataset-derived
+        device constants — adjacency matrices, history tables) from
+        optimization. Constants live in params rather than jit closures
+        because multi-MB XLA literals compile pathologically slowly
+        (131s vs 0.8s measured for LightGCN's grad); optax.masked keeps
+        Adam from allocating moments for them."""
+
+        def is_const(p):
+            return {k: jax.tree.map(lambda _: k == "_const", v)
+                    for k, v in p.items()}
+
+        def not_const(p):
+            return {k: jax.tree.map(lambda _: k != "_const", v)
+                    for k, v in p.items()}
+
+        self.optimizer = optax.chain(
+            optax.masked(optax.set_to_zero(), is_const),
+            optax.masked(self.optimizer, not_const))
+
     def prepare(self, train_data):
         """Initialize params/optimizer and build the default train mode."""
         if self.params is None:
@@ -394,6 +432,8 @@ class Trainer:
             self.params = self.model.init_params(init_key)
             if self.plan is not None:
                 self.params = self.plan.shard_params(self.params)
+            if isinstance(self.params, dict) and "_const" in self.params:
+                self._mask_const_subtree()
             self.opt_state = self.optimizer.init(self.params)
         self._modes = {}
         self._build_mode(train_data, self.default_train_mode)
@@ -525,10 +565,15 @@ class Trainer:
         uid_f = self.config["USER_ID_FIELD"]
         iid_f = self.config["ITEM_ID_FIELD"]
         mask_history = getattr(eval_data, "mask_history", True)
+        consts = {}
         if mask_history:
-            hist, hlen = eval_data.phase_history.device_tables(eval_data.mask_phase)
+            e_hist, e_hlen = eval_data.phase_history.device_tables(
+                eval_data.mask_phase)
+            consts.update({"hist": e_hist, "hlen": e_hlen})
         n_items = eval_data.n_items
         transform = getattr(eval_data, "device_transform", None)
+        if transform is not None:
+            consts.update(transform.consts)
 
         from ..models.base import AbstractRecommender
         has_full_sort = (type(model).full_sort_predict
@@ -546,12 +591,12 @@ class Trainer:
             from ..ops.masked_topk import masked_topk
 
             @jax.jit
-            def fused_eval_step(params, batch):
+            def fused_eval_step(params, consts, batch):
                 pos_items = batch.pop("pos_items")
                 pos_len = batch.pop("pos_len")
                 mask = batch.pop("_mask")
                 if transform is not None:
-                    batch = transform(batch)
+                    batch = transform(batch, consts)
                 user_id = batch[uid_f]
                 B = user_id.shape[0]
                 query, table = model.full_sort_query(params, batch)
@@ -560,9 +605,9 @@ class Trainer:
                     table = table.astype(jnp.bfloat16)
                 invalid = jnp.zeros((B, n_items), jnp.int8).at[:, 0].set(1)
                 if mask_history:
-                    uh = hist[user_id]
+                    uh = consts["hist"][user_id]
                     hvalid = (jnp.arange(uh.shape[1])[None, :]
-                              < hlen[user_id][:, None])
+                              < consts["hlen"][user_id][:, None])
                     invalid = invalid.at[jnp.arange(B)[:, None], uh].max(
                         hvalid.astype(jnp.int8))
                 _, topk_idx = masked_topk(query, table, invalid, max_k,
@@ -574,7 +619,7 @@ class Trainer:
                     & pos_valid[:, None, :], axis=-1).astype(jnp.int32)
                 return topk_metric_sums(metrics, pos_index, pos_len, mask)
 
-            return fused_eval_step
+            return fused_eval_step, consts
 
         def all_item_scores(params, batch):
             if has_full_sort:
@@ -595,20 +640,21 @@ class Trainer:
             return scores.transpose(1, 0, 2).reshape(B, -1)[:, :n_items]
 
         @jax.jit
-        def eval_step(params, batch):
+        def eval_step(params, consts, batch):
             pos_items = batch.pop("pos_items")
             pos_len = batch.pop("pos_len")
             mask = batch.pop("_mask")
             if transform is not None:
-                batch = transform(batch)
+                batch = transform(batch, consts)
             user_id = batch[uid_f]
             B = user_id.shape[0]
             scores = all_item_scores(params, batch).astype(jnp.float32)
             scores = scores.at[:, 0].set(NEG_INF)  # [PAD] column
             rows = jnp.arange(B)[:, None]
             if mask_history:
-                uh = hist[user_id]
-                hvalid = jnp.arange(uh.shape[1])[None, :] < hlen[user_id][:, None]
+                uh = consts["hist"][user_id]
+                hvalid = (jnp.arange(uh.shape[1])[None, :]
+                          < consts["hlen"][user_id][:, None])
                 scores = scores.at[rows, uh].add(jnp.where(hvalid, NEG_INF, 0.0))
             _, topk_idx = jax.lax.top_k(scores, max_k)
             # top-k hit flags via direct (B, K, P) id comparison — no
@@ -629,39 +675,45 @@ class Trainer:
                                              user_len, mask))
             return sums
 
-        return eval_step
+        return eval_step, consts
 
     def _make_sampled_eval_step(self, eval_data, metrics, max_k,
                                 needs_gauc=False):
         model = self.model
         cfg = self.config
         uid_f = cfg["USER_ID_FIELD"]
-        hist, hlen = eval_data.phase_history.device_tables(eval_data.sample_phase)
+        s_hist, s_hlen = eval_data.phase_history.device_tables(
+            eval_data.sample_phase)
         n_items = eval_data.n_items
         P = eval_data.max_pos
         k = eval_data.neg_k
         rounds = cfg["neg_sampling_resample_rounds"]
         repeatable = getattr(eval_data, "repeatable_sampling", False)
         transform = getattr(eval_data, "device_transform", None)
-        pop = None
-        if eval_data.distribution == "popularity":
-            pop = jnp.asarray(
+        consts = {"hist": s_hist, "hlen": s_hlen}
+        if transform is not None:
+            consts.update(transform.consts)
+        has_pop = eval_data.distribution == "popularity"
+        if has_pop:
+            consts["pop"] = jnp.asarray(
                 eval_data.phase_history.pop_items[eval_data.sample_phase])
 
         @jax.jit
-        def eval_step(params, rng, batch):
+        def eval_step(params, consts, rng, batch):
             pos_items = batch.pop("pos_items")
             pos_len = batch.pop("pos_len")
             mask = batch.pop("_mask")
+            pop = consts.get("pop") if has_pop else None
             if transform is not None:
-                batch = transform(batch)
+                batch = transform(batch, consts)
             user_id = batch[uid_f]
             B = user_id.shape[0]
             if repeatable:
                 negs = sample_negatives_unchecked(rng, (B, P * k), n_items,
                                                   pop_items=pop)
             else:
-                negs = sample_negatives(rng, user_id, hist, hlen, n_items, P * k,
+                negs = sample_negatives(rng, user_id, consts["hist"],
+                                        consts["hlen"], n_items, P * k,
                                         rounds=rounds, pop_items=pop)
             cand = jnp.concatenate([pos_items, negs], axis=1)       # (B, C)
             pos_valid = jnp.arange(P)[None, :] < pos_len[:, None]
@@ -690,7 +742,7 @@ class Trainer:
                                              user_len, mask))
             return sums
 
-        return eval_step
+        return eval_step, consts
 
     def _make_labeled_eval_step(self, eval_data, metrics, max_k,
                                 needs_gauc=False):
@@ -698,9 +750,10 @@ class Trainer:
         GeneralNegFromDatasetDataLoader protocol)."""
         model = self.model
         uid_f = self.config["USER_ID_FIELD"]
+        consts = {}
 
         @jax.jit
-        def eval_step(params, batch):
+        def eval_step(params, consts, batch):
             pos_items = batch.pop("pos_items")
             pos_len = batch.pop("pos_len")
             neg_items = batch.pop("neg_items")
@@ -737,7 +790,7 @@ class Trainer:
                                              user_len, mask))
             return sums
 
-        return eval_step
+        return eval_step, consts
 
     def _evaluate_individual(self, eval_data):
         """Value-metric path: predictions vs labels over plain rows (parity:
@@ -746,11 +799,14 @@ class Trainer:
         label_f = self.config["LABEL_FIELD"]
         predict = jax.jit(lambda p, b: model.predict(p, b))
         collector = ValueCollector(self.config)
+        pending = []  # device-side predictions; ONE host transfer at the end
         for batch in eval_data:
             mask = batch.pop("_mask")
             labels = batch[label_f]
             jbatch = {k2: jnp.asarray(v) for k2, v in batch.items()}
-            preds = np.asarray(predict(self.params, jbatch))
+            pending.append((labels, predict(self.params, jbatch), mask))
+        preds_host = jax.device_get([p for _, p, _ in pending])
+        for (labels, _, mask), preds in zip(pending, preds_host):
             collector.collect(labels, preds, mask)
         return collector.evaluate()
 
@@ -784,24 +840,33 @@ class Trainer:
             else:
                 self._eval_step_cache[key] = self._make_full_sort_eval_step(
                     eval_data, metrics, max_k, needs_gauc)
-        step = self._eval_step_cache[key]
+        step, consts = self._eval_step_cache[key]
         if labeled:
+            total = None
             for batch in eval_data:
                 batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
-                sums = step(self.params, batch)
-                collector.collect({k2: np.asarray(v)
-                                   for k2, v in sums.items()})
+                sums = step(self.params, consts, batch)
+                total = sums if total is None else jax.tree.map(
+                    jnp.add, total, sums)
+            if total is not None:
+                collector.collect(jax.device_get(total))
             return collector.evaluate()
-        step = self._eval_step_cache[key]
 
+        # metric partial sums accumulate ON DEVICE; one host transfer at the
+        # end (per-array transfers pay round-trip latency per batch on a
+        # remote/tunneled accelerator)
+        total = None
         for batch in eval_data:
             batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
             if sampled:
                 self.rng, ek = jax.random.split(self.rng)
-                sums = step(self.params, ek, batch)
+                sums = step(self.params, consts, ek, batch)
             else:
-                sums = step(self.params, batch)
-            collector.collect({k2: np.asarray(v) for k2, v in sums.items()})
+                sums = step(self.params, consts, batch)
+            total = sums if total is None else jax.tree.map(jnp.add, total,
+                                                            sums)
+        if total is not None:
+            collector.collect(jax.device_get(total))
         return collector.evaluate()
 
 
@@ -1039,7 +1104,7 @@ class RecVAETrainer(Trainer):
         self._rv = {}
         specs = {"enc": ("calculate_loss", "encoder"),
                  "dec": ("calculate_loss_no_dropout", "decoder")}
-        augment = self._make_rec_augment(train_data)
+        augment, aug_consts = self._make_rec_augment(train_data)
         for mode, (loss_name, part) in specs.items():
             def mask_fn(p, part=part):
                 return {k: jax.tree.map(lambda _: k == part, v)
@@ -1057,6 +1122,7 @@ class RecVAETrainer(Trainer):
                 augment, getattr(self.model, loss_name), optimizer=tx)
             bundle = {"tx": tx, "opt_state": tx.init(self.params),
                       "step": jax.jit(step_core, donate_argnums=(0, 1)),
+                      "consts": aug_consts,
                       "epoch_fn": None, "steps": 0, "columns": None}
             if self.config["scan_epochs"] and self.plan is None \
                     and hasattr(train_data, "columns"):
@@ -1072,7 +1138,7 @@ class RecVAETrainer(Trainer):
             self.params, bundle["opt_state"], self.rng, _, parts = \
                 bundle["epoch_fn"](self.params, bundle["opt_state"], self.rng,
                                    jnp.int32(self.global_step),
-                                   bundle["columns"])
+                                   bundle["columns"], bundle["consts"])
             self.global_step += bundle["steps"]
             return float(np.sum(np.asarray(parts)))
         total = 0.0
@@ -1082,7 +1148,7 @@ class RecVAETrainer(Trainer):
             self.global_step += 1
             self.params, bundle["opt_state"], self.rng, loss, _ = \
                 bundle["step"](self.params, bundle["opt_state"], self.rng,
-                               batch)
+                               batch, bundle["consts"])
             total += float(loss)
         return total
 

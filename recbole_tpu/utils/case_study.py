@@ -48,7 +48,7 @@ def full_sort_scores(uid_series, model, params, test_data):
         batch["seq_start"] = jnp.asarray(np.asarray(split.start)[rows])
         batch[model.config["ITEM_LIST_LENGTH_FIELD"]] = jnp.asarray(
             np.maximum(np.asarray(split.length)[rows], 1))
-        batch = transform(batch)
+        batch = transform(batch, transform.consts)
 
     from ..models.base import AbstractRecommender
     if (type(model).full_sort_predict

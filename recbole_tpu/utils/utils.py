@@ -10,6 +10,19 @@ import random
 import numpy as np
 
 
+def init_jax(config) -> None:
+    """Process-level jax setup: persistent compilation cache."""
+    cache_dir = config["compilation_cache_dir"]
+    if cache_dir:
+        import jax
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              2.0)
+        except Exception:  # pragma: no cover — older jax without the knobs
+            pass
+
+
 def init_seed(seed: int, reproducibility: bool = True) -> None:
     """Seed python + numpy. JAX randomness is explicit (keys), so the trainer
     derives its root jax.random.key(seed) itself; this handles host-side RNG

@@ -57,12 +57,17 @@ def bench_model(model, data_path, epochs=3):
     from recbole_tpu.trainer.trainer import get_trainer
     import jax
 
+    from recbole_tpu.utils.enums import ModelType
+    from recbole_tpu.models import get_model as _gm
+    extra = {}
+    if getattr(_gm(model), "type", None) is ModelType.CONTEXT:
+        extra["threshold"] = {"rating": 3}  # CTR protocols need labels
     cfg = Config(model, "ml1m", config_dict={
         "data_path": data_path, "state": "ERROR",
         "checkpoint_dir": "/tmp/bench_saved", "log_dir": "/tmp/bench_log",
         "epochs": epochs, "valid_full_to_uni1000": False,
         "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
-        "MAX_ITEM_LIST_LENGTH": 50,
+        "MAX_ITEM_LIST_LENGTH": 50, **extra,
     }, _parse_cmd_line=False)
     ds = create_dataset(cfg)
     train, valid, test = data_preparation(cfg, ds)
