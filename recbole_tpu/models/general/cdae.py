@@ -32,8 +32,8 @@ class CDAE(GeneralRecommender):
         self.reg_1 = config["reg_weight_1"]
         self.reg_2 = config["reg_weight_2"]
         hist, hlen = dataset.history_item_matrix()
-        self.hist = jnp.asarray(hist)
-        self.hlen = jnp.asarray(hlen)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 3)

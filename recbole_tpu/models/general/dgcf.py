@@ -69,8 +69,8 @@ class DGCF(GeneralRecommender):
         row = mat.row.astype(np.int32)
         col = (mat.col + self.n_users).astype(np.int32)
         # bidirectional edge list over the joint user+item node space
-        self.h_list = jnp.asarray(np.concatenate([row, col]))
-        self.t_list = jnp.asarray(np.concatenate([col, row]))
+        self.h_list = self.register_const("h_list", np.concatenate([row, col]))
+        self.t_list = self.register_const("t_list", np.concatenate([col, row]))
         self.num_edge = int(self.h_list.shape[0])
         self.num_node = self.n_users + self.n_items
 
@@ -90,7 +90,8 @@ class DGCF(GeneralRecommender):
                                params["item_embedding"]], axis=0)
         all_layers = [ego]
         A_values = jnp.ones((self.num_edge, F))
-        h, t = self.h_list, self.t_list
+        h = jnp.asarray(self.h_list)
+        t = jnp.asarray(self.t_list)
 
         def factor_pass(weights_f, ego_f):
             """One degree-normalized propagation for one factor.

@@ -35,7 +35,7 @@ class DMF(GeneralRecommender):
         mat = dataset.inter_matrix("csr", value_field=value_field)
         dense = np.asarray(mat.todense(), np.float32)
         self.max_rating = float(dense.max()) if dense.size else 1.0
-        self.R = jnp.asarray(dense)
+        self.R = self.register_const("R", dense)
 
     def init_params(self, rng):
         ku, ki, k1, k2 = jax.random.split(rng, 4)

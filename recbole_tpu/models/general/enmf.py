@@ -31,8 +31,8 @@ class ENMF(GeneralRecommender):
         self.reg_weight = config["reg_weight"]
         self.neg_weight = config["negative_weight"]
         hist, hlen = dataset.history_item_matrix()
-        self.hist = jnp.asarray(hist)
-        self.hlen = jnp.asarray(hlen)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
 
     def init_params(self, rng):
         ku, ki, kh = jax.random.split(rng, 3)

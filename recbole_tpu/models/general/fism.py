@@ -27,8 +27,8 @@ class FISM(GeneralRecommender):
         self.reg_weights = config["reg_weights"]
         self.alpha = config["alpha"]
         hist, hlen = dataset.history_item_matrix()
-        self.hist = jnp.asarray(hist)
-        self.hlen = jnp.asarray(hlen)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
 
     def init_params(self, rng):
         kp, kq = jax.random.split(rng)

@@ -41,9 +41,9 @@ class GCMC(GeneralRecommender):
         self.num_all = self.n_users + self.n_items
         src, dst, w = build_norm_adj(dataset.inter_matrix("csr"),
                                      self.n_users, self.n_items)
-        self.edge_src = jnp.asarray(src)
-        self.edge_dst = jnp.asarray(dst)
-        self.edge_w = jnp.asarray(w)
+        self.edge_src = self.register_const("edge_src", src)
+        self.edge_dst = self.register_const("edge_dst", dst)
+        self.edge_w = self.register_const("edge_w", w)
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 5 + self.n_basis)
@@ -66,8 +66,10 @@ class GCMC(GeneralRecommender):
         # identity features: user_X @ Wu = Wu[:n_users], item_X @ Wv = Wv[n_users:]
         h = jnp.concatenate([params["wu"][:self.n_users],
                              params["wv"][self.n_users:]], axis=0)
-        msgs = h[self.edge_src] * self.edge_w[:, None]
-        agg = jax.ops.segment_sum(msgs, self.edge_dst,
+        edge_src = jnp.asarray(self.edge_src)
+        edge_dst = jnp.asarray(self.edge_dst)
+        msgs = h[edge_src] * self.edge_w[:, None]
+        agg = jax.ops.segment_sum(msgs, edge_dst,
                                   num_segments=self.num_all)
         agg = jax.nn.relu(agg)
         if rng is not None and self.dropout_prob > 0:

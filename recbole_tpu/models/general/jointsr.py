@@ -80,7 +80,7 @@ class JOINTSRUSERMF(JOINTSRMF):
         vocab_hint = collect_text_vocab(dataset, dataset.user_feat, ufields)
         vocab, vectors = load_word_vectors(config["word_embedding_path"],
                                            self.embedding_dim, vocab_hint)
-        self.user_word_embedding = jnp.asarray(vectors)
+        self.user_word_embedding = self.register_const("user_word_embedding", vectors)
         self.user_vocab_size = vectors.shape[0]
         word2idx = {w: i for i, w in enumerate(vocab)}
         self.user_lm_gt = LMTargets(dataset, dataset.user_feat, ufields,

@@ -49,7 +49,7 @@ class JOINTSRMF(GeneralRecommender):
         if vectors.shape[1] != self.embedding_dim:
             raise ValueError(f"word vectors dim {vectors.shape[1]} != "
                              f"embedding_dimension {self.embedding_dim}")
-        self.word_embedding = jnp.asarray(vectors)   # frozen, not in params
+        self.word_embedding = self.register_const("word_embedding", vectors)   # frozen, not in params
         self.vocab_size = vectors.shape[0]
         word2idx = {w: i for i, w in enumerate(vocab)}
         self.lm_gt = LMTargets(dataset, dataset.item_feat, fields, word2idx)
@@ -143,7 +143,7 @@ class JOINTSRMFNEGS(JOINTSRMF):
         import numpy as np
         cdf = np.cumsum(noise)
         table = np.searchsorted(cdf, (np.arange(65536) + 0.5) / 65536)
-        self._noise_table = jnp.asarray(table.astype(np.int32))
+        self._noise_table = self.register_const("_noise_table", table.astype(np.int32))
 
     def _lm_loss(self, params, item, weight, rng=None):
         k = self.lm_gt.keys[item]

@@ -43,8 +43,8 @@ class MacridVAE(GeneralRecommender):
         self.total_anneal_steps = config["total_anneal_steps"]
         self.regs = list(config["reg_weights"])
         hist, hlen = dataset.history_item_matrix()
-        self.hist = jnp.asarray(hist)
-        self.hlen = jnp.asarray(hlen)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
         self.enc_dims = [self.n_items] + self.layers \
             + [self.embedding_size * 2]
 

@@ -34,8 +34,8 @@ class MultiVAE(GeneralRecommender):
         self.anneal_cap = config["anneal_cap"]
         self.total_anneal_steps = config["total_anneal_steps"]
         hist, hlen = dataset.history_item_matrix()
-        self.hist = jnp.asarray(hist)
-        self.hlen = jnp.asarray(hlen)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
         self.enc_dims = [self.n_items] + self.hidden + [self.latent * 2]
         self.dec_dims = [self.latent] + self.hidden[::-1] + [self.n_items]
 

@@ -33,8 +33,8 @@ class NAIS(GeneralRecommender):
         if self.algorithm not in ("prod", "concat"):
             raise ValueError("algorithm must be 'prod' or 'concat'")
         hist, hlen = dataset.history_item_matrix()
-        self.hist = jnp.asarray(hist)
-        self.hlen = jnp.asarray(hlen)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 4)

@@ -54,9 +54,9 @@ class NNCF(GeneralRecommender):
         u_hist, u_len = build_history_matrix(uids, iids, self.n_users)
         i_hist, i_len = build_history_matrix(iids, uids, self.n_items)
         rng = np.random.RandomState(config["seed"] or 0)
-        self.u_neigh = jnp.asarray(
+        self.u_neigh = self.register_const("u_neigh", 
             self._fixed_neigh(u_hist, u_len, rng, method))
-        self.i_neigh = jnp.asarray(
+        self.i_neigh = self.register_const("i_neigh", 
             self._fixed_neigh(i_hist, i_len, rng, method))
 
         conved = self.neigh_num - (self.kernel - 1)

@@ -51,8 +51,8 @@ class RaCT(GeneralRecommender):
             raise ValueError("train_stage must be actor_pretrain / "
                              "critic_pretrain / finetune")
         hist, hlen = dataset.history_item_matrix()
-        self.hist = jnp.asarray(hist)
-        self.hlen = jnp.asarray(hlen)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
         self.enc_dims = [self.n_items] + self.layers + [self.lat_dim]
         self.dec_dims = [self.lat_dim // 2] + self.layers[::-1] \
             + [self.n_items]

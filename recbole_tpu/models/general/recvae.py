@@ -43,8 +43,8 @@ class RecVAE(GeneralRecommender):
         self.gamma = config["gamma"]
         self.mixture_weights = list(config["mixture_weights"])
         hist, hlen = dataset.history_item_matrix()
-        self.hist = jnp.asarray(hist)
-        self.hlen = jnp.asarray(hlen)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
 
     def _encoder_init(self, rng):
         H, Z, N = self.hidden_dim, self.latent_dim, self.n_items

@@ -38,9 +38,9 @@ class KGAT(KnowledgeRecommender):
         self.reg_weight = config["reg_weight"]
         self.aggregator = config["aggregator_type"]
         h, r, t = dataset.ckg_arrays()
-        self.edge_h = jnp.asarray(h)   # node = entity id, users offset later
-        self.edge_r = jnp.asarray(r)
-        self.edge_t = jnp.asarray(t)
+        self.edge_h = self.register_const("edge_h", h)   # node = entity id, users offset later
+        self.edge_r = self.register_const("edge_r", r)
+        self.edge_t = self.register_const("edge_t", t)
         self.n_nodes = self.n_entities + self.n_users
         self.n_edges = len(h)
 
@@ -70,8 +70,8 @@ class KGAT(KnowledgeRecommender):
         return params
 
     def _init_attention(self):
-        deg = np.bincount(np.asarray(self.edge_h), minlength=self.n_nodes)
-        return jnp.asarray(1.0 / np.maximum(deg, 1))[self.edge_h]
+        deg = np.bincount(np.asarray(self.edge_h.value), minlength=self.n_nodes)
+        return jnp.asarray(1.0 / np.maximum(deg, 1))[jnp.asarray(self.edge_h)]
 
     def _all_embeddings(self, params):
         return jnp.concatenate([params["entity_embedding"],
@@ -79,21 +79,21 @@ class KGAT(KnowledgeRecommender):
 
     def _edge_softmax(self, scores):
         """Softmax of edge scores over each head node's outgoing edges."""
-        seg_max = jax.ops.segment_max(scores, self.edge_h,
+        seg_max = jax.ops.segment_max(scores, jnp.asarray(self.edge_h),
                                       num_segments=self.n_nodes)
-        e = jnp.exp(scores - seg_max[self.edge_h])
-        seg_sum = jax.ops.segment_sum(e, self.edge_h,
+        e = jnp.exp(scores - seg_max[jnp.asarray(self.edge_h)])
+        seg_sum = jax.ops.segment_sum(e, jnp.asarray(self.edge_h),
                                       num_segments=self.n_nodes)
-        return e / jnp.maximum(seg_sum[self.edge_h], 1e-12)
+        return e / jnp.maximum(seg_sum[jnp.asarray(self.edge_h)], 1e-12)
 
     def update_attentive_A(self, params):
         """Recompute per-edge attention from TransR scores (stop-gradient;
         parity: kgat.py update_attentive_A)."""
         x = self._all_embeddings(params)
-        w = params["trans_w"][self.edge_r]                     # (E, D, Dk)
-        h_e = jnp.einsum("ed,edk->ek", x[self.edge_h], w)
-        t_e = jnp.einsum("ed,edk->ek", x[self.edge_t], w)
-        r_e = params["relation_embedding"][self.edge_r]
+        w = params["trans_w"][jnp.asarray(self.edge_r)]                     # (E, D, Dk)
+        h_e = jnp.einsum("ed,edk->ek", x[jnp.asarray(self.edge_h)], w)
+        t_e = jnp.einsum("ed,edk->ek", x[jnp.asarray(self.edge_t)], w)
+        r_e = params["relation_embedding"][jnp.asarray(self.edge_r)]
         scores = jnp.sum(t_e * jnp.tanh(h_e + r_e), -1)
         att = jax.lax.stop_gradient(self._edge_softmax(scores))
         out = dict(params)
@@ -106,8 +106,8 @@ class KGAT(KnowledgeRecommender):
         outs = [x]
         for layer in params["agg"]:
             # side = sum over outgoing edges of att * tail embedding
-            msgs = x[self.edge_t] * att[:, None]
-            side = jax.ops.segment_sum(msgs, self.edge_h,
+            msgs = x[jnp.asarray(self.edge_t)] * att[:, None]
+            side = jax.ops.segment_sum(msgs, jnp.asarray(self.edge_h),
                                        num_segments=self.n_nodes)
             if self.aggregator == "gcn":
                 x = jax.nn.leaky_relu(

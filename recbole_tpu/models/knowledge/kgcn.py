@@ -55,8 +55,8 @@ class KGCN(KnowledgeRecommender):
         h, r, t = dataset.kg_arrays()
         ent, rel = build_neighbor_tables(h, r, t, self.n_entities, self.S,
                                          config["seed"] or 2020)
-        self.adj_ent = jnp.asarray(ent)
-        self.adj_rel = jnp.asarray(rel)
+        self.adj_ent = self.register_const("adj_ent", ent)
+        self.adj_rel = self.register_const("adj_rel", rel)
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 3 + self.n_iter)

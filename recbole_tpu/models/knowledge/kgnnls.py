@@ -23,8 +23,8 @@ class KGNNLS(KGCN):
         super().__init__(config, dataset)
         self.ls_weight = config["ls_weight"]
         hist, hlen = dataset.history_item_matrix()
-        self.hist = jnp.asarray(hist)
-        self.hlen = jnp.asarray(hlen)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
 
     def _label_smoothness(self, params, user, item, label):
         """One round of label propagation over the item's 1-hop sample: the

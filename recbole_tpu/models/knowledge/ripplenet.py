@@ -66,10 +66,10 @@ class RippleNet(KnowledgeRecommender):
         H, R, T, M = build_ripple_sets(hist, hlen, h, r, t, self.n_users,
                                        self.n_hop, self.n_memory,
                                        config["seed"] or 2020)
-        self.rip_h = jnp.asarray(H)
-        self.rip_r = jnp.asarray(R)
-        self.rip_t = jnp.asarray(T)
-        self.rip_m = jnp.asarray(M)
+        self.rip_h = self.register_const("rip_h", H)
+        self.rip_r = self.register_const("rip_r", R)
+        self.rip_t = self.register_const("rip_t", T)
+        self.rip_m = self.register_const("rip_m", M)
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 3)

@@ -84,7 +84,7 @@ class S3Rec(SequentialRecommender):
             for v in np.asarray(vals):
                 if v > 0:
                     multihot[iid, int(v) - 1] = 1.0
-        self.attr_multihot = jnp.asarray(multihot)
+        self.attr_multihot = self.register_const("attr_multihot", multihot)
 
     # ----------------------------------------------------------------- params
 

@@ -260,12 +260,21 @@ class Trainer:
             batch = augment(batch, k_neg, consts)
 
             def loss_fn(p):
-                out = loss_method(p, batch, k_loss)
+                with self.model.bind_consts(self.model.consts_of(p)):
+                    out = loss_method(p, batch, k_loss)
                 if isinstance(out, tuple):
                     return sum(out), jnp.stack(out)
                 return out, jnp.stack([out])
 
-            (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            # allow_int: params["_const"] may hold integer id tables (their
+            # grads are float0 and the masked optimizer zeroes them anyway);
+            # float0 leaves are re-materialized as float32 zeros because
+            # optax transforms cannot consume float0
+            (loss, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True, allow_int=True)(params)
+            grads = jax.tree.map(
+                lambda g: (jnp.zeros(g.shape, jnp.float32)
+                           if g.dtype == jax.dtypes.float0 else g), grads)
             updates, opt_state2 = optimizer.update(grads, opt_state, params)
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, rng, loss, parts
@@ -429,7 +438,8 @@ class Trainer:
         """Initialize params/optimizer and build the default train mode."""
         if self.params is None:
             self.rng, init_key = jax.random.split(self.rng)
-            self.params = self.model.init_params(init_key)
+            self.params = self.model.attach_consts(
+                self.model.init_params(init_key))
             if self.plan is not None:
                 self.params = self.plan.shard_params(self.params)
             if isinstance(self.params, dict) and "_const" in self.params:
@@ -599,7 +609,8 @@ class Trainer:
                     batch = transform(batch, consts)
                 user_id = batch[uid_f]
                 B = user_id.shape[0]
-                query, table = model.full_sort_query(params, batch)
+                with model.bind_consts(model.consts_of(params)):
+                    query, table = model.full_sort_query(params, batch)
                 if use_bf16:
                     query = query.astype(jnp.bfloat16)
                     table = table.astype(jnp.bfloat16)
@@ -648,7 +659,8 @@ class Trainer:
                 batch = transform(batch, consts)
             user_id = batch[uid_f]
             B = user_id.shape[0]
-            scores = all_item_scores(params, batch).astype(jnp.float32)
+            with model.bind_consts(model.consts_of(params)):
+                scores = all_item_scores(params, batch).astype(jnp.float32)
             scores = scores.at[:, 0].set(NEG_INF)  # [PAD] column
             rows = jnp.arange(B)[:, None]
             if mask_history:
@@ -719,7 +731,8 @@ class Trainer:
             pos_valid = jnp.arange(P)[None, :] < pos_len[:, None]
             neg_valid = jnp.arange(P * k)[None, :] < (pos_len * k)[:, None]
             cand_valid = jnp.concatenate([pos_valid, neg_valid], axis=1)
-            scores = model.score_items(params, batch, cand)
+            with model.bind_consts(model.consts_of(params)):
+                scores = model.score_items(params, batch, cand)
             scores = jnp.where(cand_valid, scores.astype(jnp.float32), NEG_INF)
             if scores.shape[1] < max_k:
                 # fork top-k padding fix (abstract_evaluator.py:71-74)
@@ -765,7 +778,8 @@ class Trainer:
             neg_valid = (jnp.arange(neg_items.shape[1])[None, :]
                          < neg_len[:, None])
             cand_valid = jnp.concatenate([pos_valid, neg_valid], axis=1)
-            scores = model.score_items(params, batch, cand)
+            with model.bind_consts(model.consts_of(params)):
+                scores = model.score_items(params, batch, cand)
             scores = jnp.where(cand_valid, scores.astype(jnp.float32), NEG_INF)
             if scores.shape[1] < max_k:
                 # candidate list narrower than max(topk): pad with -inf
@@ -797,7 +811,10 @@ class Trainer:
         reference LossEvaluator, evaluators.py:289-367)."""
         model = self.model
         label_f = self.config["LABEL_FIELD"]
-        predict = jax.jit(lambda p, b: model.predict(p, b))
+        def _predict(p, b):
+            with model.bind_consts(model.consts_of(p)):
+                return model.predict(p, b)
+        predict = jax.jit(_predict)
         collector = ValueCollector(self.config)
         pending = []  # device-side predictions; ONE host transfer at the end
         for batch in eval_data:
@@ -883,7 +900,8 @@ class TraditionalTrainer(Trainer):
         if saved:
             ensure_dir(self.checkpoint_dir)
         self.rng, init_key = jax.random.split(self.rng)
-        self.params = self.model.fit_params(init_key, train_data)
+        self.params = self.model.attach_consts(
+            self.model.fit_params(init_key, train_data))
         if valid_data is not None:
             self.best_valid_result = self.evaluate(valid_data, load_best_model=False)
             self.best_valid_score = calculate_valid_score(
@@ -1098,7 +1116,8 @@ class RecVAETrainer(Trainer):
     def prepare(self, train_data):
         if self.params is None:
             self.rng, init_key = jax.random.split(self.rng)
-            self.params = self.model.init_params(init_key)
+            self.params = self.model.attach_consts(
+                self.model.init_params(init_key))
         if self._rv is not None:
             return
         self._rv = {}
