@@ -178,6 +178,23 @@ class GeneralRecommender(AbstractRecommender):
         self.n_users = dataset.user_num
         self.n_items = dataset.item_num
 
+    def init_history(self, dataset, max_len=None):
+        """Register the per-user train-history table (shared by the
+        autoencoder family: MultiVAE/DAE, MacridVAE, RaCT, RecVAE, CDAE)."""
+        hist, hlen = dataset.history_item_matrix(max_len)
+        self.hist = self.register_const("hist", hist)
+        self.hlen = self.register_const("hlen", hlen)
+
+    def _rating_matrix(self, user):
+        """Multi-hot train rows rebuilt on device: (B, n_items); PAD col 0
+        forced to zero. Requires init_history()."""
+        B = user.shape[0]
+        h = self.hist[user]
+        valid = jnp.arange(h.shape[1])[None, :] < self.hlen[user][:, None]
+        x = jnp.zeros((B, self.n_items), jnp.float32)
+        x = x.at[jnp.arange(B)[:, None], h].max(valid.astype(jnp.float32))
+        return x.at[:, 0].set(0.0)
+
 
 class SequentialRecommender(AbstractRecommender):
     type = ModelType.SEQUENTIAL

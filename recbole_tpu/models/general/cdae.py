@@ -31,9 +31,7 @@ class CDAE(GeneralRecommender):
         self.corruption = config["corruption_ratio"]
         self.reg_1 = config["reg_weight_1"]
         self.reg_2 = config["reg_weight_2"]
-        hist, hlen = dataset.history_item_matrix()
-        self.hist = self.register_const("hist", hist)
-        self.hlen = self.register_const("hlen", hlen)
+        self.init_history(dataset)
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 3)
@@ -46,13 +44,6 @@ class CDAE(GeneralRecommender):
             "dec_b": jnp.zeros(self.n_items),
         }
 
-    def _rating_matrix(self, user):
-        B = user.shape[0]
-        h = self.hist[user]
-        valid = jnp.arange(h.shape[1])[None, :] < self.hlen[user][:, None]
-        x = jnp.zeros((B, self.n_items), jnp.float32)
-        x = x.at[jnp.arange(B)[:, None], h].max(valid.astype(jnp.float32))
-        return x.at[:, 0].set(0.0)
 
     def _forward(self, params, user, x):
         h = jnp.dot(x, params["enc_w"], preferred_element_type=jnp.float32) \

@@ -42,9 +42,7 @@ class MacridVAE(GeneralRecommender):
         self.anneal_cap = config["anneal_cap"]
         self.total_anneal_steps = config["total_anneal_steps"]
         self.regs = list(config["reg_weights"])
-        hist, hlen = dataset.history_item_matrix()
-        self.hist = self.register_const("hist", hist)
-        self.hlen = self.register_const("hlen", hlen)
+        self.init_history(dataset)
         self.enc_dims = [self.n_items] + self.layers \
             + [self.embedding_size * 2]
 
@@ -58,13 +56,6 @@ class MacridVAE(GeneralRecommender):
                 kk, (self.kfac, self.embedding_size)),
         }
 
-    def _rating_matrix(self, user):
-        B = user.shape[0]
-        h = self.hist[user]
-        valid = jnp.arange(h.shape[1])[None, :] < self.hlen[user][:, None]
-        x = jnp.zeros((B, self.n_items), jnp.float32)
-        x = x.at[jnp.arange(B)[:, None], h].max(valid.astype(jnp.float32))
-        return x.at[:, 0].set(0.0)
 
     def _encode(self, params, xk):
         h = xk

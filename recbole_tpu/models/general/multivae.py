@@ -33,9 +33,7 @@ class MultiVAE(GeneralRecommender):
         self.dropout_prob = config["dropout_prob"]
         self.anneal_cap = config["anneal_cap"]
         self.total_anneal_steps = config["total_anneal_steps"]
-        hist, hlen = dataset.history_item_matrix()
-        self.hist = self.register_const("hist", hist)
-        self.hlen = self.register_const("hlen", hlen)
+        self.init_history(dataset)
         self.enc_dims = [self.n_items] + self.hidden + [self.latent * 2]
         self.dec_dims = [self.latent] + self.hidden[::-1] + [self.n_items]
 
@@ -44,14 +42,6 @@ class MultiVAE(GeneralRecommender):
         return {"encoder": mlp_init(ke, self.enc_dims, "xavier_normal"),
                 "decoder": mlp_init(kd, self.dec_dims, "xavier_normal")}
 
-    def _rating_matrix(self, user):
-        """Multi-hot train rows rebuilt on device: (B, n_items)."""
-        B = user.shape[0]
-        h = self.hist[user]
-        valid = jnp.arange(h.shape[1])[None, :] < self.hlen[user][:, None]
-        x = jnp.zeros((B, self.n_items), jnp.float32)
-        x = x.at[jnp.arange(B)[:, None], h].max(valid.astype(jnp.float32))
-        return x.at[:, 0].set(0.0)
 
     def _mlp(self, layers, x, act=jnp.tanh, final_act=False):
         n = len(layers)

@@ -50,9 +50,7 @@ class RaCT(GeneralRecommender):
                                     "finetune"):
             raise ValueError("train_stage must be actor_pretrain / "
                              "critic_pretrain / finetune")
-        hist, hlen = dataset.history_item_matrix()
-        self.hist = self.register_const("hist", hist)
-        self.hlen = self.register_const("hlen", hlen)
+        self.init_history(dataset)
         self.enc_dims = [self.n_items] + self.layers + [self.lat_dim]
         self.dec_dims = [self.lat_dim // 2] + self.layers[::-1] \
             + [self.n_items]
@@ -69,13 +67,6 @@ class RaCT(GeneralRecommender):
             params = jax.tree.map(jnp.asarray, state["params"])
         return params
 
-    def _rating_matrix(self, user):
-        B = user.shape[0]
-        h = self.hist[user]
-        valid = jnp.arange(h.shape[1])[None, :] < self.hlen[user][:, None]
-        x = jnp.zeros((B, self.n_items), jnp.float32)
-        x = x.at[jnp.arange(B)[:, None], h].max(valid.astype(jnp.float32))
-        return x.at[:, 0].set(0.0)
 
     def _mlp(self, layers, x, act=jnp.tanh):
         n = len(layers)
@@ -91,7 +82,7 @@ class RaCT(GeneralRecommender):
         t = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
         if rng is not None and self.drop_out > 0:
             rng, dk = jax.random.split(rng)
-            keep = jax.random.bernoulli(rng, 1.0 - self.drop_out, t.shape)
+            keep = jax.random.bernoulli(dk, 1.0 - self.drop_out, t.shape)
             h = jnp.where(keep, t, 0.0)  # unscaled dropout (ract.py:150)
         else:
             h = t

@@ -42,9 +42,7 @@ class RecVAE(GeneralRecommender):
         self.beta = config["beta"]
         self.gamma = config["gamma"]
         self.mixture_weights = list(config["mixture_weights"])
-        hist, hlen = dataset.history_item_matrix()
-        self.hist = self.register_const("hist", hist)
-        self.hlen = self.register_const("hlen", hlen)
+        self.init_history(dataset)
 
     def _encoder_init(self, rng):
         H, Z, N = self.hidden_dim, self.latent_dim, self.n_items
@@ -71,13 +69,6 @@ class RecVAE(GeneralRecommender):
                         "b": jnp.zeros(self.n_items)},
         }
 
-    def _rating_matrix(self, user):
-        B = user.shape[0]
-        h = self.hist[user]
-        valid = jnp.arange(h.shape[1])[None, :] < self.hlen[user][:, None]
-        x = jnp.zeros((B, self.n_items), jnp.float32)
-        x = x.at[jnp.arange(B)[:, None], h].max(valid.astype(jnp.float32))
-        return x.at[:, 0].set(0.0)
 
     def _encode(self, enc, x, dropout, rng):
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)

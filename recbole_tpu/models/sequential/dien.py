@@ -100,7 +100,7 @@ class DIEN(SequentialRecommender):
         last = params["aux_mlp"][-1]
         return jax.nn.sigmoid(jnp.dot(x, last["w"]) + last["b"])[..., 0]
 
-    def _logits(self, params, batch, target_items):
+    def _logits(self, params, batch, target_items, training=False):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
         keys = self.embedder.embed_flat(params, seq)
@@ -114,13 +114,13 @@ class DIEN(SequentialRecommender):
         for layer, alpha in zip(params["dnn"], params["dice_alpha"]):
             x = jnp.dot(x, layer["w"],
                         preferred_element_type=jnp.float32) + layer["b"]
-            x = dice(x, alpha)
+            x = dice(x, alpha, training=training)
         return jnp.dot(x, params["predict_w"])[:, 0] + params["predict_b"], \
             keys, interest, seq, seq_len
 
     def calculate_loss(self, params, batch, rng=None):
         logits, keys, interest, seq, seq_len = self._logits(
-            params, batch, batch[self.POS_ITEM_ID])
+            params, batch, batch[self.POS_ITEM_ID], training=True)
         main = bce_loss(logits, batch[self.LABEL].astype(jnp.float32),
                         batch.get("_weight"))
         # auxiliary loss on a device-sampled negative sequence
@@ -138,6 +138,9 @@ class DIEN(SequentialRecommender):
         h = interest[:, :-1, :]
         valid = (jnp.arange(1, seq.shape[1])[None, :]
                  < seq_len[:, None]).astype(jnp.float32)      # (B, L-1)
+        w = batch.get("_weight")
+        if w is not None:  # exclude padded fill rows from the aux gradient
+            valid = valid * w[:, None]
         p_click = self._aux_prob(params, h, keys[:, 1:, :])
         p_noclick = self._aux_prob(params, h, neg_keys[:, 1:, :])
         aux = -(jnp.log(p_click + 1e-8) + jnp.log(1 - p_noclick + 1e-8))

@@ -18,12 +18,19 @@ from .. import register_model
 from .feat_embed import ItemFeatEmbedder
 
 
-def dice(x, alpha, eps=1e-8):
+def dice(x, alpha, training=True, eps=1e-8):
     """Dice activation (parity: layers.py:228): p = sigmoid(standardize(x)),
-    out = p*x + (1-p)*alpha*x. Batch statistics are computed in-graph."""
-    mean = jnp.mean(x, axis=0, keepdims=True)
-    std = jnp.std(x, axis=0, keepdims=True) + eps
-    p = jax.nn.sigmoid((x - mean) / std)
+    out = p*x + (1-p)*alpha*x. Training standardizes with in-batch
+    statistics (the reference uses BatchNorm); evaluation uses the raw
+    activation so scores cannot depend on batch composition or padded
+    fill rows (our functional design keeps no running statistics)."""
+    if training:
+        mean = jnp.mean(x, axis=0, keepdims=True)
+        std = jnp.std(x, axis=0, keepdims=True) + eps
+        x_norm = (x - mean) / std
+    else:
+        x_norm = x
+    p = jax.nn.sigmoid(x_norm)
     return p * x + (1.0 - p) * alpha * x
 
 
@@ -89,7 +96,7 @@ class DIN(SequentialRecommender):
         params["predict_b"] = jnp.zeros(())
         return params
 
-    def _logits(self, params, batch, target_items):
+    def _logits(self, params, batch, target_items, training=False):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
         keys = self.embedder.embed_flat(params, seq)               # (B, L, H)
@@ -99,11 +106,12 @@ class DIN(SequentialRecommender):
         for layer, alpha in zip(params["dnn"], params["dice_alpha"]):
             x = jnp.dot(x, layer["w"],
                         preferred_element_type=jnp.float32) + layer["b"]
-            x = dice(x, alpha)
+            x = dice(x, alpha, training=training)
         return jnp.dot(x, params["predict_w"])[:, 0] + params["predict_b"]
 
     def calculate_loss(self, params, batch, rng=None):
-        logits = self._logits(params, batch, batch[self.POS_ITEM_ID])
+        logits = self._logits(params, batch, batch[self.POS_ITEM_ID],
+                              training=True)
         return bce_loss(logits, batch[self.LABEL].astype(jnp.float32),
                         batch.get("_weight"))
 

@@ -140,9 +140,13 @@ class S3Rec(SequentialRecommender):
         return jnp.maximum(logits, 0) - logits * target \
             + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
-    def _pretrain_loss(self, params, seq, seq_len, rng):
+    def _pretrain_loss(self, params, seq, seq_len, rng, row_w=None):
         B, L = seq.shape
         valid = seq != 0
+        if row_w is None:
+            row_w = jnp.ones((B,))
+        # padded duplicate fill rows (weight 0) must not contribute
+        valid = valid & (row_w[:, None] > 0)
         r_mask, r_neg, r_seg1, r_seg2, r_segneg, r_enc1, r_enc2, r_enc3, \
             r_enc4 = jax.random.split(rng, 9)
 
@@ -189,18 +193,25 @@ class S3Rec(SequentialRecommender):
         rolled = jnp.roll(seq, 1, axis=0)
         neg_segment = jnp.where(in_seg, jnp.maximum(rolled, 1),
                                 jnp.where(valid, self.mask_token, 0))
-        ctx = self._encode(params, masked_segment, seq_len, True,
-                           r_enc2)[:, -1, :]
-        pos_emb = self._encode(params, pos_segment, seq_len, True,
-                               r_enc3)[:, -1, :]
-        neg_emb = self._encode(params, neg_segment, seq_len, True,
-                               r_enc4)[:, -1, :]
+        # readout at each sequence's LAST REAL position: sequences here are
+        # right-padded, unlike the reference's left-padded pretrain rows
+        ctx = self.gather_last(
+            self._encode(params, masked_segment, seq_len, True, r_enc2),
+            seq_len)
+        pos_emb = self.gather_last(
+            self._encode(params, pos_segment, seq_len, True, r_enc3),
+            seq_len)
+        neg_emb = self.gather_last(
+            self._encode(params, neg_segment, seq_len, True, r_enc4),
+            seq_len)
         sp_h = jnp.dot(ctx, params["sp_w"])
         sp = jnp.sum(jnp.logaddexp(
-            0.0, jnp.sum(sp_h * neg_emb, -1) - jnp.sum(sp_h * pos_emb, -1)))
+            0.0, jnp.sum(sp_h * neg_emb, -1)
+            - jnp.sum(sp_h * pos_emb, -1)) * row_w)
 
+        n_real = jnp.maximum(jnp.sum(row_w), 1.0)
         return (self.aap_weight * aap + self.mip_weight * mip
-                + self.map_weight * map_ + self.sp_weight * sp) / B
+                + self.map_weight * map_ + self.sp_weight * sp) / n_real
 
     def calculate_loss(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
@@ -208,7 +219,8 @@ class S3Rec(SequentialRecommender):
         if self.train_stage == "pretrain":
             if rng is None:
                 rng = jax.random.key(0)
-            return self._pretrain_loss(params, seq, seq_len, rng)
+            return self._pretrain_loss(params, seq, seq_len, rng,
+                                       batch.get("_weight"))
         out = self.gather_last(
             self._encode(params, seq, seq_len, False, rng), seq_len)
         pos = batch[self.POS_ITEM_ID]

@@ -594,7 +594,19 @@ class Trainer:
         # (B, n_items) matrix leaving the fusion (bf16 MXU and/or Pallas)
         use_bf16 = str(self.config["eval_score_dtype"]).lower() == "bfloat16"
         use_pallas = bool(self.config["use_pallas_topk"])
+        # the fused path is only sound when full_sort_query provably matches
+        # the model's full-sort semantics: either the model opts in by
+        # defining full_sort_query in its OWN class, or it inherits the
+        # whole base dot-product stack unmodified (a model that overrides
+        # full_sort_predict, e.g. KSR's combined item+entity table, must
+        # not silently get the base query)
+        from ..models.base import SequentialRecommender
+        cls = type(model)
+        base_stack = (getattr(cls, "full_sort_predict", None)
+                      is SequentialRecommender.full_sort_predict)
+        opted_in = "full_sort_query" in cls.__dict__
         fused = ((use_bf16 or use_pallas) and not needs_gauc
+                 and (opted_in or base_stack)
                  and hasattr(model, "full_sort_query")
                  and not getattr(model, "full_sort_fallback", False))
         if fused:
@@ -997,10 +1009,9 @@ class DecisionTreeTrainer(Trainer):
         if self.convert_onehot:
             import scipy.sparse as sp
             parts = []
-            full = dataset if not hasattr(dataset, "parent") else dataset
             for j, f in enumerate(names):
-                ftype = full.field2type.get(f)
-                vocab = (full.num(f) if ftype is FeatureType.TOKEN else 0)
+                ftype = dataset.field2type.get(f)
+                vocab = (dataset.num(f) if ftype is FeatureType.TOKEN else 0)
                 if 0 < vocab <= self.config["token_num_threshold"]:
                     ids = X[:, j].astype(np.int64)
                     parts.append(sp.csr_matrix(
@@ -1041,10 +1052,14 @@ class DecisionTreeTrainer(Trainer):
             sets = [dtr]
             if valid_data is not None:
                 sets.append(lgb.Dataset(Xva, label=yva, reference=dtr))
+            callbacks = []
+            if self.config["lgb_early_stopping_rounds"] and valid_data is not None:
+                callbacks.append(lgb.early_stopping(
+                    self.config["lgb_early_stopping_rounds"]))
             self.booster = lgb.train(
                 self.config["lgb_params"], dtr,
                 num_boost_round=self.config["lgb_num_boost_round"],
-                valid_sets=sets)
+                valid_sets=sets, callbacks=callbacks)
             if saved:
                 self.booster.save_model(self.saved_model_file)
         if valid_data is not None:
@@ -1056,6 +1071,14 @@ class DecisionTreeTrainer(Trainer):
 
     def evaluate(self, eval_data, load_best_model=True, model_file=None,
                  show_progress=False):
+        if load_best_model and (model_file or self.booster is None):
+            path = model_file or self.saved_model_file
+            if self.flavor == "xgb":
+                import xgboost as xgb
+                self.booster = xgb.Booster(model_file=path)
+            else:
+                import lightgbm as lgb
+                self.booster = lgb.Booster(model_file=path)
         if self.booster is None:
             raise RuntimeError("no trained booster — call fit() first")
         X, y = self._matrix(eval_data.dataset)
