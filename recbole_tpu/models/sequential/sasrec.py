@@ -98,3 +98,8 @@ class SASRec(SequentialRecommender):
         out = self.forward(params, batch)
         return jnp.dot(out, params["item_embedding"].T,
                        preferred_element_type=jnp.float32)
+
+    def full_sort_query(self, params, batch):
+        """Opt-in for the fused bf16/Pallas eval path (scores are exactly
+        forward() . item_embedding^T, matching full_sort_predict above)."""
+        return self.forward(params, batch), params["item_embedding"]
