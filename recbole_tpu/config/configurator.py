@@ -67,6 +67,27 @@ def _coerce(value):
         return value
 
 
+def _yaml_load(fh):
+    """yaml.safe_load with a float resolver accepting '1e-3'-style
+    scientific notation (parity: the reference's custom FullLoader resolver,
+    configurator.py:90-104 — PyYAML 1.1 otherwise parses those as strings)."""
+    import re
+    loader = yaml.SafeLoader
+    if not getattr(loader, "_recbole_float_resolver", False):
+        loader.add_implicit_resolver(
+            "tag:yaml.org,2002:float",
+            re.compile(
+                r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+                |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+                |\.[0-9_]+(?:[eE][-+][0-9]+)?
+                |[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\.[0-9_]*
+                |[-+]?\.(?:inf|Inf|INF)
+                |\.(?:nan|NaN|NAN))$""", re.X),
+            list("-+0123456789."))
+        loader._recbole_float_resolver = True
+    return yaml.load(fh, Loader=loader)
+
+
 class Config:
     """Dict-like merged configuration.
 
@@ -85,7 +106,7 @@ class Config:
         self._file_args = {}
         for f in config_file_list or []:
             with open(f, "r", encoding="utf-8") as fh:
-                loaded = yaml.safe_load(fh) or {}
+                loaded = _yaml_load(fh) or {}
             self._file_args.update(loaded)
 
         model_name, model_class = self._resolve_model(model)
@@ -104,7 +125,7 @@ class Config:
         ds_yaml = os.path.join(_BUILTIN_DATASET_DIR, f"{dataset_name}.yaml")
         if os.path.isfile(ds_yaml):
             with open(ds_yaml, "r", encoding="utf-8") as fh:
-                self.final.update(yaml.safe_load(fh) or {})
+                self.final.update(_yaml_load(fh) or {})
         # external sources, ascending priority
         self.final.update(self._file_args)
         self.final.update(self._dict_args)
@@ -159,6 +180,12 @@ class Config:
             loss_type = f.get("loss_type", "CE")
             input_type = InputType.POINTWISE if loss_type == "CE" else InputType.PAIRWISE
         f["MODEL_INPUT_TYPE"] = input_type
+
+        # scalar topk accepted like the reference (evaluators wrap to list)
+        if isinstance(f.get("topk"), int):
+            f["topk"] = [f["topk"]]
+        if isinstance(f.get("metrics"), str):
+            f["metrics"] = [f["metrics"]]
 
         # eval type from metrics, mixing forbidden (parity: configurator.py:287-299)
         eval_type = None

@@ -185,10 +185,10 @@ class Dataset:
     def _filter_nan_ids(self):
         n = self._inter_len()
         mask = np.ones(n, dtype=bool)
+        import pandas as pd
         for f in (self.uid_field, self.iid_field):
             if f in self.inter_feat:
-                col = self.inter_feat[f]
-                mask &= np.array([x is not None and x == x for x in col])
+                mask &= ~pd.isna(self.inter_feat[f])
         if not mask.all():
             self._apply_inter_mask(mask)
 
@@ -202,16 +202,16 @@ class Dataset:
         order = np.arange(n)
         if self.time_field in self.inter_feat:
             order = np.argsort(self.inter_feat[self.time_field], kind="stable")
-        pairs = {}
         uids, iids = self.inter_feat[self.uid_field], self.inter_feat[self.iid_field]
-        for idx in order:
-            key = (uids[idx], iids[idx])
-            if keep == "first":
-                pairs.setdefault(key, idx)
-            else:
-                pairs[key] = idx
+        # vectorized first/last-per-(u,i): factorize pairs, then keep the
+        # first occurrence along the (time-)order (reversed for 'last')
+        u_codes = np.unique(uids, return_inverse=True)[1]
+        i_codes = np.unique(iids, return_inverse=True)[1]
+        pair = u_codes.astype(np.int64) * (i_codes.max() + 1) + i_codes
+        seq = order if keep == "first" else order[::-1]
+        _, first_idx = np.unique(pair[seq], return_index=True)
         mask = np.zeros(n, dtype=bool)
-        mask[list(pairs.values())] = True
+        mask[seq[first_idx]] = True
         self._apply_inter_mask(mask)
 
     def _filter_by_value(self):
@@ -246,11 +246,11 @@ class Dataset:
             return
         mask = np.ones(self._inter_len(), dtype=bool)
         if self.user_feat is not None:
-            valid = set(self.user_feat[self.uid_field].tolist())
-            mask &= np.array([u in valid for u in self.inter_feat[self.uid_field]])
+            mask &= np.isin(self.inter_feat[self.uid_field],
+                            self.user_feat[self.uid_field])
         if self.item_feat is not None:
-            valid = set(self.item_feat[self.iid_field].tolist())
-            mask &= np.array([i in valid for i in self.inter_feat[self.iid_field]])
+            mask &= np.isin(self.inter_feat[self.iid_field],
+                            self.item_feat[self.iid_field])
         if not mask.all():
             self._apply_inter_mask(mask)
 
@@ -271,14 +271,13 @@ class Dataset:
             u_cnt = np.bincount(u_inv)
             i_vals, i_inv = np.unique(iids[keep], return_inverse=True)
             i_cnt = np.bincount(i_inv)
-            bad_u = set(u_vals[(u_cnt < min_u) | ((u_cnt > max_u) if max_u else False)].tolist())
-            bad_i = set(i_vals[(i_cnt < min_i) | ((i_cnt > max_i) if max_i else False)].tolist())
-            if not bad_u and not bad_i:
+            bad_u = u_vals[(u_cnt < min_u) | ((u_cnt > max_u) if max_u else False)]
+            bad_i = i_vals[(i_cnt < min_i) | ((i_cnt > max_i) if max_i else False)]
+            if not len(bad_u) and not len(bad_i):
                 break
             new_keep = keep.copy()
             idx = np.nonzero(keep)[0]
-            drop = np.array([(u in bad_u) or (i in bad_i)
-                             for u, i in zip(uids[idx], iids[idx])])
+            drop = np.isin(uids[idx], bad_u) | np.isin(iids[idx], bad_i)
             new_keep[idx[drop]] = False
             if new_keep.sum() == keep.sum():
                 break
@@ -286,12 +285,12 @@ class Dataset:
         self._apply_inter_mask(keep)
         # prune side tables of removed entities to keep vocabularies tight
         if self.user_feat is not None:
-            alive = set(self.inter_feat[self.uid_field].tolist())
-            m = np.array([u in alive for u in self.user_feat[self.uid_field]])
+            m = np.isin(self.user_feat[self.uid_field],
+                        self.inter_feat[self.uid_field])
             self.user_feat = {f: v[m] for f, v in self.user_feat.items()}
         if self.item_feat is not None:
-            alive = set(self.inter_feat[self.iid_field].tolist())
-            m = np.array([i in alive for i in self.item_feat[self.iid_field]])
+            m = np.isin(self.item_feat[self.iid_field],
+                        self.inter_feat[self.iid_field])
             self.item_feat = {f: v[m] for f, v in self.item_feat.items()}
 
     # -------------------------------------------------------------- remap ids
@@ -339,14 +338,22 @@ class Dataset:
             if not token_list:
                 continue
             all_tokens = np.concatenate(token_list)
-            uniq, codes = np.unique(all_tokens.astype(str), return_inverse=True)
+            # missing tokens (empty cells read as NaN) map to [PAD]=0 — the
+            # reference's pd.factorize gives NaN code -1 -> id 0
+            # (dataset.py:810-928); astype(str) would mint a live "nan" token
+            import pandas as pd
+            nan_mask = pd.isna(all_tokens)
+            new_codes = np.zeros(len(all_tokens), dtype=np.int64)
+            valid_pos = np.nonzero(~nan_mask)[0]
+            vt = all_tokens[valid_pos].astype(str)
+            uniq, codes = np.unique(vt, return_inverse=True)
             # order by first occurrence so ids are deterministic given file order
             first_pos = np.full(len(uniq), len(all_tokens), dtype=np.int64)
-            np.minimum.at(first_pos, codes, np.arange(len(all_tokens)))
+            np.minimum.at(first_pos, codes, valid_pos)
             order = np.argsort(first_pos, kind="stable")
             rank = np.empty_like(order)
             rank[order] = np.arange(len(order))
-            new_codes = rank[codes] + 1  # 0 reserved for [PAD]
+            new_codes[valid_pos] = rank[codes] + 1  # 0 reserved for [PAD]
             id2token = np.concatenate([[PAD_TOKEN], uniq[order]])
             token2id = {t: i for i, t in enumerate(id2token)}
 

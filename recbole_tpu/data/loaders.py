@@ -100,31 +100,50 @@ class ArrayTrainLoader:
             yield batch
 
 
-def make_seq_transform(item_stream, max_len, seq_field, len_field):
+class SeqTransform:
     """Device-side padded-sequence materialization from the global stream:
     replaces the reference's per-row Python `augmentation` loop
     (sequential_dataloader.py:115-146) with one gather inside the jitted step.
 
-    The stream is NOT captured as a closure constant (multi-MB XLA literals
-    compile pathologically slowly on remote-compile backends); it rides in
-    the transform's ``consts`` dict, which the trainer threads through the
-    jitted step as an argument.
+    A module-level class (not a closure) so split dataloaders pickle; the
+    stream is NOT captured as a jit closure constant (multi-MB XLA literals
+    compile pathologically slowly on remote-compile backends) — it rides in
+    ``self.consts``, which the trainer threads through the jitted step as an
+    argument.
     """
-    import jax.numpy as jnp
-    consts = {"item_stream": jnp.asarray(item_stream)}
 
-    def transform(batch, consts):
+    def __init__(self, item_stream, max_len, seq_field, len_field):
+        import jax.numpy as jnp
+        self.consts = {"item_stream": jnp.asarray(item_stream)}
+        self.max_len = max_len
+        self.seq_field = seq_field
+        self.len_field = len_field
+
+    def __call__(self, batch, consts):
+        import jax.numpy as jnp
         stream = consts["item_stream"]
-        offs = jnp.arange(max_len, dtype=jnp.int32)
+        offs = jnp.arange(self.max_len, dtype=jnp.int32)
         idx = batch["seq_start"][:, None] + offs[None, :]
-        valid = offs[None, :] < batch[len_field][:, None]
+        valid = offs[None, :] < batch[self.len_field][:, None]
         seq = jnp.where(valid, stream[jnp.where(valid, idx, 0)], 0)
         out = {k: v for k, v in batch.items() if k != "seq_start"}
-        out[seq_field] = seq
+        out[self.seq_field] = seq
         return out
 
-    transform.consts = consts
-    return transform
+    def __getstate__(self):
+        import numpy as np
+        state = dict(self.__dict__)
+        state["consts"] = {k: np.asarray(v) for k, v in self.consts.items()}
+        return state
+
+    def __setstate__(self, state):
+        import jax.numpy as jnp
+        self.__dict__.update(state)
+        self.consts = {k: jnp.asarray(v) for k, v in state["consts"].items()}
+
+
+def make_seq_transform(item_stream, max_len, seq_field, len_field):
+    return SeqTransform(item_stream, max_len, seq_field, len_field)
 
 
 class SequentialTrainLoader(ArrayTrainLoader):
@@ -212,6 +231,7 @@ class SequentialSampledEvalLoader(SequentialEvalLoader):
             width = max(1 + self.neg_k, 1)
             budget = (self.config["eval_batch_size"] or 4096) * 4096
             self.batch_size = int(np.clip(budget // width, 4, 4096))
+            self.batch_size = min(self.batch_size, max(self.n, 4))
 
     @property
     def num_candidates(self):
@@ -316,18 +336,15 @@ class FullSortEvalLoader:
             pos_mask = np.asarray(dataset.inter_feat[label_field]) > 0.5
             uids, iids = uids[pos_mask], iids[pos_mask]
 
-        order = np.argsort(uids, kind="stable")
-        uids, iids = uids[order], iids[order]
-        users, starts = np.unique(uids, return_index=True)
-        counts = np.diff(np.append(starts, len(uids)))
-        P = int(counts.max()) if len(counts) else 1
-        pos = np.zeros((len(users), P), dtype=np.int32)
-        for r, (s, c) in enumerate(zip(starts, counts)):
-            pos[r, :c] = iids[s:s + c]
+        # per-user padded positives via the shared vectorized grouper
+        from .dataset import build_history_matrix
+        users = np.unique(uids)
+        full_pos, full_len = build_history_matrix(
+            uids, iids, int(uids.max()) + 1 if len(uids) else 1)
         self.users = users.astype(np.int32)
-        self.pos_items = pos
-        self.pos_len = counts.astype(np.int32)
-        self.max_pos = P
+        self.pos_items = full_pos[users]
+        self.pos_len = full_len[users].astype(np.int32)
+        self.max_pos = self.pos_items.shape[1]
 
         if batch_size is None:
             # scale user-batch so the (B, n_items) score matrix stays ~64MB,
@@ -386,15 +403,13 @@ class DatasetNegEvalLoader:
         labels = np.asarray(dataset.inter_feat[label_f]) > 0.5
 
         def group(u, i):
-            order = np.argsort(u, kind="stable")
-            u, i = u[order], i[order]
-            users, starts = np.unique(u, return_index=True)
-            counts = np.diff(np.append(starts, len(u)))
-            width = int(counts.max()) if len(counts) else 1
-            mat = np.zeros((len(users), width), np.int32)
-            for r, (s, c) in enumerate(zip(starts, counts)):
-                mat[r, :c] = i[s:s + c]
-            return users, mat, counts.astype(np.int32)
+            from .dataset import build_history_matrix
+            if len(u) == 0:
+                return (np.zeros(0, np.int64), np.zeros((0, 1), np.int32),
+                        np.zeros(0, np.int32))
+            users = np.unique(u)
+            mat, lens = build_history_matrix(u, i, int(u.max()) + 1)
+            return users, mat[users], lens[users].astype(np.int32)
 
         pu, pos, plen = group(uids[labels], iids[labels])
         nu, neg, nlen = group(uids[~labels], iids[~labels])
@@ -461,10 +476,12 @@ class SampledEvalLoader(FullSortEvalLoader):
         self.distribution = neg_sample_args.get("distribution", "uniform")
         super().__init__(config, dataset, n_items, batch_size)
         if batch_size is None:
-            # candidate width = P*(1+k); keep batch * width bounded
+            # candidate width = P*(1+k); keep batch * width bounded, and
+            # never pad beyond the real user count
             width = max(self.max_pos * (1 + self.neg_k), 1)
             budget = (self.config["eval_batch_size"] or 4096) * 4096
             self.batch_size = int(np.clip(budget // width, 4, 4096))
+            self.batch_size = min(self.batch_size, max(len(self.users), 4))
 
     @property
     def num_candidates(self):

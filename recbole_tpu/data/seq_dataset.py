@@ -32,7 +32,10 @@ class SequentialSplit:
         return len(self.uid)
 
     def __getattr__(self, name):
-        return getattr(self.__dict__["parent"], name)
+        parent = self.__dict__.get("parent")
+        if parent is None:
+            raise AttributeError(name)
+        return getattr(parent, name)
 
 
 class SequentialDataset(Dataset):
@@ -45,17 +48,37 @@ class SequentialDataset(Dataset):
 
         The reference requires TO ordering and loo splitting for sequential
         models (sequential_dataset.py:137-155); ratio splits raise.
+        With ``benchmark_filename``, each pre-split part is augmented
+        independently (no re-splitting — parity: dataset.py:1390-1393).
         """
-        if eval_setting.split_args["strategy"] != "loo":
-            raise ValueError("SequentialDataset requires leave-one-out "
-                             "splitting (TO_LS)")
-        leave_one_num = eval_setting.split_args.get("leave_one_num", 2)
-
         uids = np.asarray(self.inter_feat[self.uid_field])
         iids = np.asarray(self.inter_feat[self.iid_field])
         times = (np.asarray(self.inter_feat[self.time_field])
                  if self.time_field in self.inter_feat
                  else np.arange(len(uids), dtype=np.float32))
+
+        if self.benchmark_lens is not None:
+            cum = np.cumsum([0] + self.benchmark_lens)
+            # one shared stream; each part's examples are built only from
+            # that part's rows (the stream is part-contiguous so windows
+            # never cross split boundaries)
+            streams, parts = [], []
+            for i in range(len(self.benchmark_lens)):
+                sl = slice(cum[i], cum[i + 1])
+                order = np.lexsort((times[sl], uids[sl])) + cum[i]
+                streams.append(order)
+            order_all = np.concatenate(streams) if streams else np.zeros(0, int)
+            self.item_stream = iids[order_all].astype(np.int32)
+            stream_uids = uids[order_all]
+            for i in range(len(self.benchmark_lens)):
+                lo, hi = cum[i], cum[i + 1]
+                parts.append(self._augment_range(stream_uids, lo, hi))
+            return parts
+
+        if eval_setting.split_args["strategy"] != "loo":
+            raise ValueError("SequentialDataset requires leave-one-out "
+                             "splitting (TO_LS)")
+        leave_one_num = eval_setting.split_args.get("leave_one_num", 2)
 
         # global (user, time)-sorted stream
         order = np.lexsort((times, uids))
@@ -98,3 +121,24 @@ class SequentialDataset(Dataset):
             idx = np.nonzero(part == p)[0]
             out.append(SequentialSplit(self, *(a[idx] for a in ex)))
         return out
+
+    def _augment_range(self, stream_uids, lo, hi):
+        """All augmented examples whose window lies in stream[lo:hi]."""
+        L = self.max_seq_len
+        seg = stream_uids[lo:hi]
+        if len(seg) == 0:
+            z = np.zeros(0, np.int32)
+            return SequentialSplit(self, z, z, z, z)
+        users, starts = np.unique(seg, return_index=True)
+        counts = np.diff(np.append(starts, len(seg)))
+        row_start = np.repeat(starts, counts)
+        t = np.arange(len(seg)) - row_start
+        is_ex = t >= 1
+        tt = t[is_ex]
+        ln = np.minimum(tt, L)
+        return SequentialSplit(
+            self,
+            seg[is_ex].astype(np.int32),
+            (lo + row_start[is_ex] + tt - ln).astype(np.int32),
+            ln.astype(np.int32),
+            self.item_stream[lo + np.arange(len(seg))[is_ex]])

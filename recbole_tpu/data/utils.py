@@ -110,6 +110,11 @@ def data_preparation(config, dataset, save=False):
 def _make_eval_loader(config, split_ds, full_ds, neg_args, sequential=False):
     from ..utils.enums import EvaluatorType
     if config["eval_type"] is EvaluatorType.INDIVIDUAL:
+        if sequential:
+            raise NotImplementedError(
+                "value metrics (AUC/LogLoss/MAE/RMSE) over sequential "
+                "splits are not supported — use ranking metrics (the "
+                "reference has no such protocol either)")
         from .loaders import RowEvalLoader
         return RowEvalLoader(config, split_ds)
     if config["eval_use_dataset_negatives"] and not sequential:

@@ -26,3 +26,22 @@ def test_masked_topk_matches_xla(n_items):
     m = np.asarray(mask)
     for b in range(v.shape[0]):
         assert not m[b, np.asarray(i)[b]].any()
+
+
+def test_bipartite_prop_dense_matches_sparse():
+    """Dense-MXU and edge-list segment-sum propagation agree."""
+    import scipy.sparse as sp
+    from recbole_tpu.ops.graph import BipartiteProp
+    rng = np.random.RandomState(0)
+    n_u, n_i, nnz = 50, 70, 400
+    u = rng.randint(0, n_u, nnz)
+    i = rng.randint(0, n_i, nnz)
+    mat = sp.coo_matrix((np.ones(nnz, np.float32), (u, i)),
+                        shape=(n_u, n_i)).tocsr()
+    dense = BipartiteProp(mat, n_u, n_i)
+    sparse = BipartiteProp(mat, n_u, n_i, dense_budget=1)
+    assert dense.dense and not sparse.dense
+    x = jnp.asarray(rng.randn(n_u + n_i, 16).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(dense(dense.init_consts(), x)),
+                               np.asarray(sparse(sparse.init_consts(), x)),
+                               rtol=2e-4, atol=2e-4)
