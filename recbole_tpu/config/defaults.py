@@ -44,6 +44,9 @@ TRAINING_DEFAULTS = {
     "scan_epochs": True,
     "scan_epochs_max_bytes": 2 << 30,
     "profile_trace_dir": None,          # jax.profiler trace output (fork: torch profiler)
+    # fused Pallas attention (mask+softmax+dropout+matmuls in one kernel,
+    # TPU only; XLA path used automatically anywhere it doesn't apply)
+    "fused_attention": True,
     # KG trainer loop policies (parity: KGTrainer/MKRTrainer config keys)
     "train_rec_step": None,
     "train_kg_step": None,

@@ -86,6 +86,9 @@ class AbstractRecommender:
     def __init__(self, config, dataset):
         self.config = config
         self.compute_dtype = jnp.dtype(config["compute_dtype"] or "float32")
+        # None when fp32 so layers skip the cast entirely (see layers.dot_c)
+        self.cdt = (None if self.compute_dtype == jnp.float32
+                    else self.compute_dtype)
         self._registered_consts = {}
 
     # -- device constants -----------------------------------------------------

@@ -61,6 +61,28 @@ def embed(table, ids):
     return jnp.take(table, ids, axis=0)
 
 
+# ---------------------------------------------------------- mixed precision
+
+def cast_compute(compute_dtype, *arrays):
+    """Cast matmul operands to the compute dtype (bf16 feeds the MXU at full
+    rate; fp32 inputs run the MXU in a multi-pass emulation). Params stay
+    fp32 in memory; every dot below accumulates fp32 via
+    ``preferred_element_type``, so this is standard mixed precision."""
+    if compute_dtype is None:
+        return arrays if len(arrays) > 1 else arrays[0]
+    dt = jnp.dtype(compute_dtype)
+    if dt == jnp.float32:
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = tuple(a.astype(dt) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
+def dot_c(x, w, compute_dtype=None):
+    """jnp.dot with operands cast to the compute dtype, fp32 accumulation."""
+    x, w = cast_compute(compute_dtype, x, w)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
 # ------------------------------------------------------------------------ MLP
 
 def activation(name):
@@ -83,14 +105,15 @@ def mlp_init(rng, layer_dims, init="xavier_normal", dtype=jnp.float32):
     return params
 
 
-def mlp_apply(params, x, act="relu", dropout=0.0, rng=None, final_act=True):
+def mlp_apply(params, x, act="relu", dropout=0.0, rng=None, final_act=True,
+              compute_dtype=None):
     fn = activation(act)
     n = len(params)
     for i, layer in enumerate(params):
         if dropout > 0.0 and rng is not None:
             rng, dk = jax.random.split(rng)
             x = dropout_apply(dk, x, dropout)
-        x = jnp.dot(x, layer["w"], preferred_element_type=jnp.float32) + layer["b"]
+        x = dot_c(x, layer["w"], compute_dtype) + layer["b"]
         if final_act or i < n - 1:
             x = fn(x)
     return x
@@ -133,22 +156,22 @@ def gru_init(rng, input_size, hidden_size, n_layers=1, dtype=jnp.float32):
     return layers
 
 
-def gru_apply(params, x, h0=None):
+def gru_apply(params, x, h0=None, compute_dtype=None):
     """x: (B, L, D) -> outputs (B, L, H) of the last layer.
 
-    lax.scan over time; each gate matmul is batched on the MXU.
+    lax.scan over time; each gate matmul is batched on the MXU. The hidden
+    state stays fp32 across steps (recurrent error compounds); only matmul
+    operands drop to the compute dtype.
     """
     B, L, _ = x.shape
     for layer in params:
         H = layer["wh"].shape[0]
         h_init = jnp.zeros((B, H), x.dtype) if h0 is None else h0
 
-        xi = jnp.dot(x, layer["wi"], preferred_element_type=jnp.float32) \
-            + layer["bi"]                                      # (B, L, 3H)
+        xi = dot_c(x, layer["wi"], compute_dtype) + layer["bi"]  # (B, L, 3H)
 
         def step(h, xi_t):
-            hh = jnp.dot(h, layer["wh"],
-                         preferred_element_type=jnp.float32) + layer["bh"]
+            hh = dot_c(h, layer["wh"], compute_dtype) + layer["bh"]
             ir, iz, in_ = jnp.split(xi_t, 3, axis=-1)
             hr, hz, hn = jnp.split(hh, 3, axis=-1)
             r = jax.nn.sigmoid(ir + hr)
@@ -193,45 +216,84 @@ def layer_norm(x, g, b, eps=1e-12):
 
 
 def transformer_apply(params, x, attn_mask, n_heads, act="gelu",
-                      dropout=0.0, attn_dropout=0.0, rng=None):
+                      dropout=0.0, attn_dropout=0.0, rng=None,
+                      compute_dtype=None, mask_spec=None, fused=False):
     """x: (B, L, D); attn_mask: (B, 1, L, L) additive (-inf for blocked).
 
     Post-LN residual blocks matching the reference TransformerLayer
-    (layers.py:469): attention -> add&norm -> FFN -> add&norm.
+    (layers.py:469): attention -> add&norm -> FFN -> add&norm. With a bf16
+    compute dtype the attention probabilities and dropout masks also ride
+    bf16 (the (B,H,L,L) score tensor is the bandwidth hot spot); softmax
+    normalization and LayerNorm statistics stay fp32.
+
+    ``mask_spec=(key_valid, causal)`` — key_valid (B, L) — enables the
+    fused Pallas attention path (``fused=True`` on TPU): mask build,
+    softmax, dropout (TPU hardware PRNG) and both attention matmuls run in
+    one kernel and the (B,H,L,L) tensors never reach HBM. ``attn_mask`` may
+    be None in that case; anything unsupported falls back to the XLA path.
     """
     fn = activation(act)
-    for layer in params:
+    use_fused = False
+    if fused and mask_spec is not None:
+        from ..ops.fused_attention import (fused_attention,
+                                           fused_attention_supported)
+        B, L, D = x.shape
+        use_fused = fused_attention_supported(B, n_heads, L, D // n_heads)
+    if use_fused:
+        key_valid, causal = mask_spec
+        if rng is not None and attn_dropout > 0.0:
+            rng, sk = jax.random.split(rng)
+            seed = jax.random.bits(sk, (1,), "uint32").astype(jnp.int32)
+        else:
+            seed = jnp.zeros((1,), jnp.int32)
+    elif attn_mask is None:
+        key_valid, causal = mask_spec
+        attn_mask = (causal_attention_mask_from_valid(key_valid) if causal
+                     else bidirectional_attention_mask(key_valid > 0))
+    for li, layer in enumerate(params):
         B, L, D = x.shape
         hd = D // n_heads
 
-        def proj(w, b):
-            return (jnp.dot(x, w, preferred_element_type=jnp.float32) + b) \
-                .reshape(B, L, n_heads, hd).transpose(0, 2, 1, 3)
+        if use_fused:
+            q = (dot_c(x, layer["wq"], compute_dtype) + layer["bq"]) \
+                .reshape(B, L, n_heads, hd)
+            k = (dot_c(x, layer["wk"], compute_dtype) + layer["bk"]) \
+                .reshape(B, L, n_heads, hd)
+            v = (dot_c(x, layer["wv"], compute_dtype) + layer["bv"]) \
+                .reshape(B, L, n_heads, hd)
+            rate = attn_dropout if rng is not None else 0.0
+            ctx = fused_attention(q, k, v, key_valid, seed + li,
+                                  causal=causal, dropout_rate=rate)
+            ctx = ctx.reshape(B, L, D)
+        else:
+            def proj(w, b):
+                return (dot_c(x, w, compute_dtype) + b) \
+                    .reshape(B, L, n_heads, hd).transpose(0, 2, 1, 3)
 
-        q = proj(layer["wq"], layer["bq"])
-        k = proj(layer["wk"], layer["bk"])
-        v = proj(layer["wv"], layer["bv"])
-        scores = jnp.einsum("bhld,bhmd->bhlm", q, k,
-                            preferred_element_type=jnp.float32) / math.sqrt(hd)
-        scores = scores + attn_mask
-        probs = jax.nn.softmax(scores, axis=-1)
-        if attn_dropout > 0.0 and rng is not None:
-            rng, dk = jax.random.split(rng)
-            probs = dropout_apply(dk, probs, attn_dropout)
-        ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v,
-                         preferred_element_type=jnp.float32)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
-        attn_out = jnp.dot(ctx, layer["wo"],
-                           preferred_element_type=jnp.float32) + layer["bo"]
+            q = proj(layer["wq"], layer["bq"])
+            k = proj(layer["wk"], layer["bk"])
+            v = proj(layer["wv"], layer["bv"])
+            q, k = cast_compute(compute_dtype, q, k)
+            scores = jnp.einsum(
+                "bhld,bhmd->bhlm", q, k,
+                preferred_element_type=jnp.float32) / math.sqrt(hd)
+            scores = scores + attn_mask
+            probs = jax.nn.softmax(scores, axis=-1)
+            if attn_dropout > 0.0 and rng is not None:
+                rng, dk = jax.random.split(rng)
+                probs = dropout_apply(dk, probs, attn_dropout)
+            probs, v = cast_compute(compute_dtype, probs, v)
+            ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v,
+                             preferred_element_type=jnp.float32)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
+        attn_out = dot_c(ctx, layer["wo"], compute_dtype) + layer["bo"]
         if dropout > 0.0 and rng is not None:
             rng, dk = jax.random.split(rng)
             attn_out = dropout_apply(dk, attn_out, dropout)
         x = layer_norm(x + attn_out, layer["ln1_g"], layer["ln1_b"])
 
-        h = fn(jnp.dot(x, layer["ff1_w"],
-                       preferred_element_type=jnp.float32) + layer["ff1_b"])
-        h = jnp.dot(h, layer["ff2_w"],
-                    preferred_element_type=jnp.float32) + layer["ff2_b"]
+        h = fn(dot_c(x, layer["ff1_w"], compute_dtype) + layer["ff1_b"])
+        h = dot_c(h, layer["ff2_w"], compute_dtype) + layer["ff2_b"]
         if dropout > 0.0 and rng is not None:
             rng, dk = jax.random.split(rng)
             h = dropout_apply(dk, h, dropout)
@@ -245,6 +307,14 @@ def causal_attention_mask(seq_len_1d, L):
     causal = jnp.tril(jnp.ones((L, L), jnp.bool_))
     key_valid = jnp.arange(L)[None, :] < seq_len_1d[:, None]          # (B, L)
     mask = causal[None, :, :] & key_valid[:, None, :]
+    return jnp.where(mask, 0.0, -1e9)[:, None, :, :]
+
+
+def causal_attention_mask_from_valid(key_valid):
+    """Same as causal_attention_mask but from a (B, L) validity mask."""
+    L = key_valid.shape[1]
+    causal = jnp.tril(jnp.ones((L, L), jnp.bool_))
+    mask = causal[None, :, :] & (key_valid[:, None, :] > 0)
     return jnp.where(mask, 0.0, -1e9)[:, None, :, :]
 
 

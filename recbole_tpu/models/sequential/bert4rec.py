@@ -68,12 +68,15 @@ class BERT4Rec(SequentialRecommender):
         if rng is not None and self.hidden_dropout_prob > 0:
             rng, dk = jax.random.split(rng)
             x = dropout_apply(dk, x, self.hidden_dropout_prob)
-        mask = bidirectional_attention_mask(valid)
+        # key-side masking only: padded-query rows are garbage either way and
+        # the loss/readout never touches them, so this matches the dense
+        # bidirectional mask where it matters (and enables the fused kernel)
         return transformer_apply(
-            params["encoder"], x, mask, self.n_heads, act=self.hidden_act,
+            params["encoder"], x, None, self.n_heads, act=self.hidden_act,
             dropout=self.hidden_dropout_prob if rng is not None else 0.0,
             attn_dropout=self.attn_dropout_prob if rng is not None else 0.0,
-            rng=rng)
+            rng=rng, mask_spec=(valid.astype(jnp.int32), False),
+            fused=bool(self.config["fused_attention"]))
 
     def calculate_loss(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]

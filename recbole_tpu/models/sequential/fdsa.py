@@ -94,15 +94,19 @@ class FDSA(SequentialRecommender):
             item_x = dropout_apply(k1, item_x, self.hidden_dropout_prob)
             feat_x = dropout_apply(k2, feat_x, self.hidden_dropout_prob)
 
-        mask = causal_attention_mask(seq_len, L)
+        key_valid = (jnp.arange(L)[None, :] < seq_len[:, None]) \
+            .astype(jnp.int32)
         dp = self.hidden_dropout_prob if rng is not None else 0.0
         adp = self.attn_dropout_prob if rng is not None else 0.0
-        item_h = transformer_apply(params["item_encoder"], item_x, mask,
+        fused = bool(self.config["fused_attention"])
+        item_h = transformer_apply(params["item_encoder"], item_x, None,
                                    self.n_heads, act=self.hidden_act,
-                                   dropout=dp, attn_dropout=adp, rng=rng)
-        feat_h = transformer_apply(params["feat_encoder"], feat_x, mask,
+                                   dropout=dp, attn_dropout=adp, rng=rng,
+                                   mask_spec=(key_valid, True), fused=fused)
+        feat_h = transformer_apply(params["feat_encoder"], feat_x, None,
                                    self.n_heads, act=self.hidden_act,
-                                   dropout=dp, attn_dropout=adp, rng=rng)
+                                   dropout=dp, attn_dropout=adp, rng=rng,
+                                   mask_spec=(key_valid, True), fused=fused)
         both = jnp.concatenate([self.gather_last(item_h, seq_len),
                                 self.gather_last(feat_h, seq_len)], axis=-1)
         return jnp.dot(both, params["concat_w"],

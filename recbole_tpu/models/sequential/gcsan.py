@@ -61,9 +61,12 @@ class GCSAN(SequentialRecommender):
         seq_hidden = jnp.take_along_axis(
             hidden, alias[:, :, None].astype(jnp.int32), axis=1)
         ht = self.gather_last(seq_hidden, seq_len)
-        mask = causal_attention_mask(seq_len, L)
-        out = transformer_apply(params["encoder"], seq_hidden, mask,
-                                self.n_heads, act=self.hidden_act)
+        key_valid = (jnp.arange(L)[None, :] < seq_len[:, None]) \
+            .astype(jnp.int32)
+        out = transformer_apply(params["encoder"], seq_hidden, None,
+                                self.n_heads, act=self.hidden_act,
+                                mask_spec=(key_valid, True),
+                                fused=bool(self.config["fused_attention"]))
         at = self.gather_last(out, seq_len)
         return self.weight * at + (1 - self.weight) * ht
 

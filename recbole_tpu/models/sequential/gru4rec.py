@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..base import SequentialRecommender
 from ..layers import embedding_init, gru_init, gru_apply, xavier_uniform, \
-    dropout_apply
+    dropout_apply, dot_c
 from ..losses import bpr_loss, ce_loss
 from ...utils.enums import InputType
 from .. import register_model
@@ -51,9 +51,8 @@ class GRU4Rec(SequentialRecommender):
         if rng is not None and self.dropout_prob > 0:
             rng, dk = jax.random.split(rng)
             x = dropout_apply(dk, x, self.dropout_prob)
-        h = gru_apply(params["gru"], x)
-        h = jnp.dot(h, params["dense_w"],
-                    preferred_element_type=jnp.float32) + params["dense_b"]
+        h = gru_apply(params["gru"], x, compute_dtype=self.cdt)
+        h = dot_c(h, params["dense_w"], self.cdt) + params["dense_b"]
         return self.gather_last(h, seq_len)                    # (B, D)
 
     def calculate_loss(self, params, batch, rng=None):
@@ -65,8 +64,7 @@ class GRU4Rec(SequentialRecommender):
             pos_score = jnp.sum(out * params["item_embedding"][pos], -1)
             neg_score = jnp.sum(out * params["item_embedding"][neg], -1)
             return bpr_loss(pos_score, neg_score, w)
-        logits = jnp.dot(out, params["item_embedding"].T,
-                         preferred_element_type=jnp.float32)
+        logits = dot_c(out, params["item_embedding"].T, self.cdt)
         return ce_loss(logits, pos, w)
 
     def predict(self, params, batch):

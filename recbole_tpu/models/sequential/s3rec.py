@@ -123,16 +123,18 @@ class S3Rec(SequentialRecommender):
             rng, dk = jax.random.split(rng)
             x = dropout_apply(dk, x, self.hidden_dropout_prob)
         if bidirectional:
-            valid = seq != 0
-            mask = jnp.where(valid[:, None, :], 0.0, -1e9)[:, None, :, :]
-            mask = jnp.broadcast_to(mask, (seq.shape[0], 1, L, L))
-        else:
-            mask = causal_attention_mask(seq_len, L)
+            key_valid = (seq != 0).astype(jnp.int32)     # key-side only,
+            causal = False                               # matching the dense
+        else:                                            # pretrain mask above
+            key_valid = (jnp.arange(L)[None, :] < seq_len[:, None]) \
+                .astype(jnp.int32)
+            causal = True
         return transformer_apply(
-            params["encoder"], x, mask, self.n_heads, act=self.hidden_act,
+            params["encoder"], x, None, self.n_heads, act=self.hidden_act,
             dropout=self.hidden_dropout_prob if rng is not None else 0.0,
             attn_dropout=self.attn_dropout_prob if rng is not None else 0.0,
-            rng=rng)
+            rng=rng, mask_spec=(key_valid, causal),
+            fused=bool(self.config["fused_attention"]))
 
     # ---------------------------------------------------------------- losses
 

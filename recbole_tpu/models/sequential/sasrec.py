@@ -63,12 +63,15 @@ class SASRec(SequentialRecommender):
         if rng is not None and self.hidden_dropout_prob > 0:
             rng, dk = jax.random.split(rng)
             x = dropout_apply(dk, x, self.hidden_dropout_prob)
-        mask = causal_attention_mask(seq_len, L)
-        h = transformer_apply(params["encoder"], x, mask, self.n_heads,
+        key_valid = (jnp.arange(L)[None, :] < seq_len[:, None]) \
+            .astype(jnp.int32)
+        h = transformer_apply(params["encoder"], x, None, self.n_heads,
                               act=self.hidden_act,
                               dropout=self.hidden_dropout_prob if rng is not None else 0.0,
                               attn_dropout=self.attn_dropout_prob if rng is not None else 0.0,
-                              rng=rng)
+                              rng=rng, compute_dtype=self.cdt,
+                              mask_spec=(key_valid, True),
+                              fused=bool(self.config["fused_attention"]))
         return self.gather_last(h, seq_len)
 
     def calculate_loss(self, params, batch, rng=None):
@@ -80,8 +83,8 @@ class SASRec(SequentialRecommender):
             pos_score = jnp.sum(out * params["item_embedding"][pos], -1)
             neg_score = jnp.sum(out * params["item_embedding"][neg], -1)
             return bpr_loss(pos_score, neg_score, w)
-        logits = jnp.dot(out, params["item_embedding"].T,
-                         preferred_element_type=jnp.float32)
+        from ..layers import dot_c
+        logits = dot_c(out, params["item_embedding"].T, self.cdt)
         return ce_loss(logits, pos, w)
 
     def predict(self, params, batch):

@@ -73,10 +73,12 @@ class SASRecF(SequentialRecommender):
         if rng is not None and self.hidden_dropout_prob > 0:
             rng, dk = jax.random.split(rng)
             x = dropout_apply(dk, x, self.hidden_dropout_prob)
-        mask = causal_attention_mask(seq_len, L)
+        key_valid = (jnp.arange(L)[None, :] < seq_len[:, None]) \
+            .astype(jnp.int32)
         h = transformer_apply(
-            params["encoder"], x, mask, self.n_heads, act=self.hidden_act,
+            params["encoder"], x, None, self.n_heads, act=self.hidden_act,
             dropout=self.hidden_dropout_prob if rng is not None else 0.0,
             attn_dropout=self.attn_dropout_prob if rng is not None else 0.0,
-            rng=rng)
+            rng=rng, mask_spec=(key_valid, True),
+            fused=bool(self.config["fused_attention"]))
         return self.gather_last(h, seq_len)

@@ -28,6 +28,64 @@ def test_masked_topk_matches_xla(n_items):
         assert not m[b, np.asarray(i)[b]].any()
 
 
+def test_fused_attention_matches_xla():
+    """Pallas fused attention (interpret mode) == XLA reference, fwd + grads,
+    causal and bidirectional, with ragged key-validity."""
+    import jax
+    from recbole_tpu.ops.fused_attention import fused_attention, attention_xla
+    rng = np.random.RandomState(0)
+    B, L, H, hd = 16, 50, 2, 32
+    q = jnp.asarray(rng.randn(B, L, H, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, hd).astype(np.float32))
+    lens = rng.randint(1, L + 1, B)
+    valid = jnp.asarray((np.arange(L)[None] < lens[:, None]).astype(np.int32))
+    seed = jnp.zeros((1,), jnp.int32)
+    for causal in (True, False):
+        o1 = fused_attention(q, k, v, valid, seed, causal=causal,
+                             interpret=True)
+        o2 = attention_xla(q, k, v, valid, causal=causal)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-5, atol=1e-5)
+        g1 = jax.grad(lambda a, b, c: jnp.sum(jnp.sin(
+            fused_attention(a, b, c, valid, seed, causal=causal,
+                            interpret=True))), argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(lambda a, b, c: jnp.sum(jnp.sin(
+            attention_xla(a, b, c, valid, causal=causal))),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_dropout_unbiased():
+    """Dropout: seed-deterministic, unbiased vs no-dropout. Needs the real
+    TPU PRNG (pltpu.prng_random_bits is NotImplemented in interpret mode)."""
+    import jax
+    import pytest
+    if jax.default_backend() != "tpu":
+        pytest.skip("TPU hardware PRNG required (interpret mode lacks it)")
+    from recbole_tpu.ops.fused_attention import fused_attention
+    rng = np.random.RandomState(1)
+    B, L, H, hd = 8, 20, 2, 16
+    q = jnp.asarray(rng.randn(B, L, H, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, hd).astype(np.float32))
+    valid = jnp.ones((B, L), jnp.int32)
+
+    def f(s):
+        return fused_attention(q, k, v, valid, jnp.array([s], jnp.int32),
+                               causal=True, dropout_rate=0.5)
+    o = fused_attention(q, k, v, valid, jnp.zeros((1,), jnp.int32),
+                        causal=True)
+    d0, d0b, d1 = f(0), f(0), f(1)
+    assert np.allclose(np.asarray(d0), np.asarray(d0b))
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    avg = sum(np.asarray(f(s * 7919)) for s in range(64)) / 64
+    err = np.mean(np.abs(avg - np.asarray(o))) / np.mean(np.abs(np.asarray(o)))
+    assert err < 0.2, f"dropout bias too large: {err}"
+
+
 def test_bipartite_prop_dense_matches_sparse():
     """Dense-MXU and edge-list segment-sum propagation agree."""
     import scipy.sparse as sp
