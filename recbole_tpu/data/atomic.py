@@ -21,12 +21,17 @@ _TYPE_MAP = {t.value: t for t in FeatureType}
 
 
 def read_atomic_file(path, field_separator="\t", seq_separator=" ",
-                     usecols=None, unload=None):
+                     usecols=None, unload=None, native=True):
     """Read one atomic file.
 
     Returns (columns, field2type) where columns maps field name -> np.ndarray
     (str dtype for token, float32 for float, object-of-ndarray for *_seq).
     ``usecols``/``unload`` filter by field name (load_col / unload_col semantics).
+
+    Scalar-only files (all kept columns token/float — the multi-million-row
+    .inter/.kg files) go through the native C++ reader
+    (recbole_tpu/native/atomic_fast.cpp, ~10x pandas); anything it cannot
+    handle falls back to the pandas path transparently.
     """
     with open(path, "r", encoding="utf-8") as fh:
         header = fh.readline().rstrip("\n")
@@ -51,6 +56,19 @@ def read_atomic_file(path, field_separator="\t", seq_separator=" ",
         keep = [f for f in keep if f not in set(unload)]
     if not keep:
         return {}, {}
+
+    scalar = {FeatureType.TOKEN, FeatureType.FLOAT}
+    if native and all(field2type[f] in scalar for f in keep):
+        try:
+            from ..native import read_scalar_tsv
+            kinds = ["f" if field2type[f] is FeatureType.FLOAT else "t"
+                     for f in keep]
+            cols = read_scalar_tsv(path, field_separator, keep, kinds,
+                                   [fields.index(f) for f in keep])
+        except Exception:
+            cols = None
+        if cols is not None:
+            return cols, {f: field2type[f] for f in keep}
 
     df = pd.read_csv(path, sep=field_separator, skiprows=1, header=None,
                      names=fields, usecols=keep, dtype=object,
