@@ -20,7 +20,6 @@ from ..base import GeneralRecommender
 from ..layers import xavier_normal, dropout_apply
 from ...utils.enums import InputType
 from .. import register_model
-from .lightgcn import build_norm_adj
 
 
 @register_model("GCMC")
@@ -39,11 +38,12 @@ class GCMC(GeneralRecommender):
         self.n_basis = config["num_basis_functions"]
         self.dropout_prob = config["dropout_prob"]
         self.num_all = self.n_users + self.n_items
-        src, dst, w = build_norm_adj(dataset.inter_matrix("csr"),
-                                     self.n_users, self.n_items)
-        self.edge_src = self.register_const("edge_src", src)
-        self.edge_dst = self.register_const("edge_dst", dst)
-        self.edge_w = self.register_const("edge_w", w)
+        # dense-MXU bipartite propagation (edge-list segment_sum with 500-dim
+        # messages measured 43.6 s/epoch at ml-1m shape vs the reference's
+        # 9.04 — the dense R @ H path is two matmuls)
+        from ...ops.graph import BipartiteProp
+        self.prop = BipartiteProp(dataset.inter_matrix("csr"),
+                                  self.n_users, self.n_items)
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 5 + self.n_basis)
@@ -54,6 +54,7 @@ class GCMC(GeneralRecommender):
             "dense_b": jnp.zeros((self.dense_dim,)),
             "dec_dense": xavier_normal(ks[3], (self.n_basis, self.n_class)),
             "q": [],
+            "_const": self.prop.init_consts(),
         }
         for i in range(self.n_basis):
             # orthogonal basis init (parity: gcmc.py orthogonal())
@@ -66,12 +67,7 @@ class GCMC(GeneralRecommender):
         # identity features: user_X @ Wu = Wu[:n_users], item_X @ Wv = Wv[n_users:]
         h = jnp.concatenate([params["wu"][:self.n_users],
                              params["wv"][self.n_users:]], axis=0)
-        edge_src = jnp.asarray(self.edge_src)
-        edge_dst = jnp.asarray(self.edge_dst)
-        msgs = h[edge_src] * self.edge_w[:, None]
-        agg = jax.ops.segment_sum(msgs, edge_dst,
-                                  num_segments=self.num_all)
-        agg = jax.nn.relu(agg)
+        agg = jax.nn.relu(self.prop(params["_const"], h))
         if rng is not None and self.dropout_prob > 0:
             rng, dk = jax.random.split(rng)
             agg = dropout_apply(dk, agg, self.dropout_prob)

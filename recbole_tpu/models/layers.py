@@ -156,12 +156,15 @@ def gru_init(rng, input_size, hidden_size, n_layers=1, dtype=jnp.float32):
     return layers
 
 
-def gru_apply(params, x, h0=None, compute_dtype=None):
+def gru_apply(params, x, h0=None, compute_dtype=None, fused=None):
     """x: (B, L, D) -> outputs (B, L, H) of the last layer.
 
-    lax.scan over time; each gate matmul is batched on the MXU. The hidden
-    state stays fp32 across steps (recurrent error compounds); only matmul
-    operands drop to the compute dtype.
+    The input projection is one big batched MXU matmul; the recurrence runs
+    in the fused Pallas kernel (ops/fused_gru.py: whole time loop in VMEM,
+    recompute-based backward) whenever supported — ``fused=None`` means
+    auto — and otherwise as a lax.scan. The hidden state stays fp32 across
+    steps (recurrent error compounds); only matmul operands drop to the
+    compute dtype.
     """
     B, L, _ = x.shape
     for layer in params:
@@ -169,6 +172,13 @@ def gru_apply(params, x, h0=None, compute_dtype=None):
         h_init = jnp.zeros((B, H), x.dtype) if h0 is None else h0
 
         xi = dot_c(x, layer["wi"], compute_dtype) + layer["bi"]  # (B, L, 3H)
+
+        if fused is not False:
+            from ..ops.fused_gru import fused_gru, fused_gru_supported
+            if fused_gru_supported(B, L, H):
+                x = fused_gru(xi, h_init.astype(jnp.float32),
+                              layer["wh"], layer["bh"])
+                continue
 
         def step(h, xi_t):
             hh = dot_c(h, layer["wh"], compute_dtype) + layer["bh"]

@@ -1,0 +1,191 @@
+"""Fused GRU recurrence Pallas kernel.
+
+The reference's GRU models run nn.GRU (cuDNN); the XLA translation is a
+``lax.scan`` whose 50 sequential steps each launch a small matmul + gate
+fusion and, for autodiff, SAVE every gate tensor as a residual — the
+backward pass is dominated by streaming those residuals back from HBM.
+
+This kernel runs the whole time loop over a batch block in VMEM:
+
+    forward:  xi (precomputed input projections, one big XLA matmul) and
+              the recurrent weights stay resident; h never round-trips HBM;
+              only the h_t outputs (needed by callers anyway) are written.
+    backward: gates are RECOMPUTED from (h_{t-1}, xi_t) while scanning time
+              in reverse — no stored residuals at all; dwh/dbh accumulate
+              in VMEM scratch across batch blocks (TPU grid steps run
+              sequentially on a core) and are written out at the last step.
+
+Gate math matches layers.gru_apply exactly (torch nn.GRU convention,
+gates ordered r, z, n): see layers.py:136-162.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _xi_t(xi_ref, t, bb, H):
+    return xi_ref[:, pl.ds(t, 1), :].reshape(bb, 3 * H)
+
+
+def _gates(h_prev, xi_t, wh, bh, H):
+    hh = jnp.dot(h_prev, wh, preferred_element_type=jnp.float32) + bh
+    ir, iz, in_ = xi_t[:, :H], xi_t[:, H:2 * H], xi_t[:, 2 * H:]
+    hr, hz, hn = hh[:, :H], hh[:, H:2 * H], hh[:, 2 * H:]
+    r = jax.nn.sigmoid(ir + hr)
+    z = jax.nn.sigmoid(iz + hz)
+    n = jnp.tanh(in_ + r * hn)
+    h = (1 - z) * n + z * h_prev
+    return h, r, z, n, hn
+
+
+def _fwd_kernel(xi_ref, h0_ref, wh_ref, bh_ref, out_ref, *, bb, L, H):
+    wh, bh = wh_ref[:], bh_ref[0]
+
+    def step(t, h):
+        new_h, *_ = _gates(h, _xi_t(xi_ref, t, bb, H), wh, bh, H)
+        out_ref[:, pl.ds(t, 1), :] = new_h.reshape(bb, 1, H)
+        return new_h
+
+    jax.lax.fori_loop(0, L, step, h0_ref[:], unroll=False)
+
+
+def _bwd_kernel(xi_ref, h0_ref, wh_ref, bh_ref, out_ref, dout_ref,
+                dxi_ref, dh0_ref, dwh_ref, dbh_ref,
+                dwh_acc, dbh_acc, *, bb, L, H):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _init():
+        dwh_acc[:] = jnp.zeros_like(dwh_acc)
+        dbh_acc[:] = jnp.zeros_like(dbh_acc)
+
+    wh, bh = wh_ref[:], bh_ref[0]
+    wh_t = wh.T
+
+    def step(i, carry):
+        dh, dwh_a, dbh_a = carry
+        t = L - 1 - i
+        prev = out_ref[:, pl.ds(jnp.maximum(t - 1, 0), 1), :] \
+            .reshape(bb, H)
+        h_prev = jnp.where(t == 0, h0_ref[:], prev)
+        _, r, z, n, hn = _gates(h_prev, _xi_t(xi_ref, t, bb, H), wh, bh, H)
+
+        dh = dh + dout_ref[:, pl.ds(t, 1), :].reshape(bb, H)
+        dz = dh * (h_prev - n)
+        dn = dh * (1 - z)
+        dpre_n = dn * (1 - n * n)
+        dr = dpre_n * hn
+        dpre_r = dr * r * (1 - r)
+        dpre_z = dz * z * (1 - z)
+        dhh = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=1)
+        dxi_ref[:, pl.ds(t, 1), :] = \
+            jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=1) \
+            .reshape(bb, 1, 3 * H)
+        dwh_a = dwh_a + jnp.dot(h_prev.T, dhh,
+                                preferred_element_type=jnp.float32)
+        dbh_a = dbh_a + jnp.sum(dhh, axis=0, keepdims=True)
+        dh = dh * z + jnp.dot(dhh, wh_t, preferred_element_type=jnp.float32)
+        return dh, dwh_a, dbh_a
+
+    dh, dwh_a, dbh_a = jax.lax.fori_loop(
+        0, L, step,
+        (jnp.zeros((bb, H), jnp.float32),
+         jnp.zeros((H, 3 * H), jnp.float32),
+         jnp.zeros((1, 3 * H), jnp.float32)),
+        unroll=False)
+    dh0_ref[:] = dh
+    dwh_acc[:] += dwh_a
+    dbh_acc[:] += dbh_a
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _flush():
+        dwh_ref[:] = dwh_acc[:]
+        dbh_ref[:] = dbh_acc[:]
+
+
+def _batch_block(B, L, H):
+    """xi + dxi blocks (bb, L, 3H) are the VMEM hogs; ~<4MB each padded."""
+    pad = lambda x, m: ((x + m - 1) // m) * m
+    budget = 4 * 1024 * 1024
+    for cand in (256, 128, 64, 32, 16, 8):
+        if B % cand == 0 and cand * pad(L, 8) * pad(3 * H, 128) * 4 <= budget:
+            return cand
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gru(B, L, H, interpret):
+    bb = _batch_block(B, L, H)
+    grid = (B // bb,)
+    kw = {} if interpret else {"memory_space": pltpu.VMEM}
+    xi_spec = pl.BlockSpec((bb, L, 3 * H), lambda i: (i, 0, 0), **kw)
+    h_spec = pl.BlockSpec((bb, H), lambda i: (i, 0), **kw)
+    out_spec = pl.BlockSpec((bb, L, H), lambda i: (i, 0, 0), **kw)
+    wh_spec = pl.BlockSpec((H, 3 * H), lambda i: (0, 0), **kw)
+    bh_spec = pl.BlockSpec((1, 3 * H), lambda i: (0, 0), **kw)
+    common = dict(bb=bb, L=L, H=H)
+    cp = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024)}
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, **common),
+        grid=grid,
+        in_specs=[xi_spec, h_spec, wh_spec, bh_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, L, H), jnp.float32),
+        interpret=interpret, **cp,
+    )
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel, **common),
+        grid=grid,
+        in_specs=[xi_spec, h_spec, wh_spec, bh_spec, out_spec, out_spec],
+        out_specs=[xi_spec, h_spec, wh_spec, bh_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((H, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, 3 * H), jnp.float32),
+            pltpu.VMEM((1, 3 * H), jnp.float32),
+        ],
+        interpret=interpret, **cp,
+    )
+
+    @jax.custom_vjp
+    def gru(xi, h0, wh, bh):
+        return fwd_call(xi, h0, wh, bh)
+
+    def fwd(xi, h0, wh, bh):
+        out = gru(xi, h0, wh, bh)
+        return out, (xi, h0, wh, bh, out)
+
+    def bwd(res, dout):
+        xi, h0, wh, bh, out = res
+        dxi, dh0, dwh, dbh = bwd_call(xi, h0, wh, bh, out, dout)
+        return dxi, dh0, dwh, dbh.reshape(3 * H)
+
+    gru.defvjp(fwd, bwd)
+    return gru
+
+
+def fused_gru_supported(B, L, H):
+    return (jax.default_backend() == "tpu"
+            and _batch_block(B, L, H) is not None)
+
+
+def fused_gru(xi, h0, wh, bh, *, interpret=False):
+    """xi: (B, L, 3H) precomputed input projections (x @ wi + bi);
+    h0: (B, H); wh: (H, 3H); bh: (3H,). Returns all hidden states (B, L, H)
+    — same contract as the scan inside layers.gru_apply."""
+    B, L, H3 = xi.shape
+    H = H3 // 3
+    return _make_gru(B, L, H, interpret)(xi, h0, wh, bh.reshape(1, 3 * H))

@@ -17,15 +17,50 @@ import numpy as np
 # reference train/eval s-per-epoch on ml-1m (BASELINE.md, General/Sequential/
 # Context tables)
 REFERENCE = {
+    # General_recommendation.md:27-40
+    "Pop": (2.11, 8.08),
+    "ItemKNN": (2.00, 11.76),
     "BPR": (1.93, 7.43),
     "NeuMF": (4.94, 13.12),
-    "LightGCN": (7.83, 7.47),
-    "NGCF": (12.09, 7.12),
     "DMF": (4.47, 12.63),
+    "NAIS": (59.27, 24.41),
+    "NGCF": (12.09, 7.12),
+    "GCMC": (9.04, 54.15),
+    "LightGCN": (7.83, 7.47),
+    "DGCF": (181.66, 8.06),
+    "ConvNCF": (8.46, 19.60),
+    "FISM": (19.30, 10.92),
     "SpectralCF": (13.87, 6.97),
+    # Sequential_recommendation.md:26-44
     "GRU4Rec": (7.78, 0.11),
     "SASRec": (17.78, 0.12),
+    "NARM": (8.29, 0.11),
+    "FPMC": (7.51, 0.11),
+    "STAMP": (7.32, 0.11),
+    "Caser": (44.85, 0.12),
+    "NextItNet": (16433.27, 96.31),
+    "TransRec": (10.08, 0.16),
+    "GRU4RecF": (10.20, 0.15),
+    "SASRecF": (18.84, 0.17),
+    "BERT4Rec": (36.09, 0.34),
+    "FDSA": (31.86, 0.19),
+    "SRGNN": (327.38, 2.19),
+    "GCSAN": (335.27, 0.02),
+    # Context-aware_recommendation.md:26-42
+    "LR": (18.34, 2.18),
+    "DSSM": (21.93, 2.24),
+    "FM": (19.33, 2.34),
     "DeepFM": (20.42, 2.27),
+    "WideDeep": (26.13, 2.95),
+    "NFM": (23.36, 2.26),
+    "AFM": (20.08, 2.26),
+    "AutoInt": (22.41, 2.34),
+    "DCN": (28.33, 2.97),
+    "FNN": (19.51, 2.21),
+    "PNN": (22.29, 2.23),
+    "FFM": (22.98, 2.47),
+    "FwFM": (23.38, 2.50),
+    "xDeepFM": (24.40, 2.30),
 }
 
 N_USERS, N_ITEMS, N_INTER = 6040, 3706, 1_000_209
@@ -47,6 +82,13 @@ def synth_ml1m_dir(root="/tmp/bench_ml1m_synth"):
         fh.write("user_id:token\titem_id:token\trating:float\ttimestamp:float\n")
         np.savetxt(fh, np.stack([uids, iids, rng.randint(1, 6, N_INTER), ts],
                                 axis=1), fmt="%d", delimiter="\t")
+    # item side table (feature-fused models: class token, ml-1m's 5-ish
+    # genre vocabulary scale)
+    with open(os.path.join(d, "ml1m.item"), "w") as fh:
+        fh.write("item_id:token\tclass:token\n")
+        cls = rng.randint(1, 19, N_ITEMS)
+        np.savetxt(fh, np.stack([np.arange(1, N_ITEMS + 1), cls], axis=1),
+                   fmt="%d", delimiter="\t")
     return root
 
 
@@ -62,11 +104,15 @@ def bench_model(model, data_path, epochs=3):
     extra = {}
     if getattr(_gm(model), "type", None) is ModelType.CONTEXT:
         extra["threshold"] = {"rating": 3}  # CTR protocols need labels
+    load_col = {"inter": ["user_id", "item_id", "rating", "timestamp"]}
+    if model in ("GRU4RecF", "SASRecF", "FDSA", "DIN", "DIEN") \
+            or getattr(_gm(model), "type", None) is ModelType.CONTEXT:
+        load_col["item"] = ["item_id", "class"]
     cfg = Config(model, "ml1m", config_dict={
         "data_path": data_path, "state": "ERROR",
         "checkpoint_dir": "/tmp/bench_saved", "log_dir": "/tmp/bench_log",
         "epochs": epochs, "valid_full_to_uni1000": False,
-        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        "load_col": load_col,
         "MAX_ITEM_LIST_LENGTH": 50, **extra,
     }, _parse_cmd_line=False)
     ds = create_dataset(cfg)

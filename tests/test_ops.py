@@ -86,6 +86,62 @@ def test_fused_attention_dropout_unbiased():
     assert err < 0.2, f"dropout bias too large: {err}"
 
 
+def test_fused_gru_matches_scan():
+    """Pallas fused GRU (interpret) == the lax.scan path, fwd + all grads,
+    zero and nonzero h0."""
+    import jax
+    from recbole_tpu.ops.fused_gru import fused_gru
+    from recbole_tpu.models.layers import gru_init, gru_apply
+    rng = np.random.RandomState(0)
+    B, L, D, H = 16, 13, 8, 24
+    layer = gru_init(jax.random.PRNGKey(0), D, H)[0]
+    x = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    xi = jnp.dot(x, layer["wi"]) + layer["bi"]
+
+    for h0 in (jnp.zeros((B, H)),
+               jnp.asarray(rng.randn(B, H).astype(np.float32))):
+        def fused_loss(xi, h0, wh, bh):
+            return jnp.sum(jnp.sin(fused_gru(xi, h0, wh, bh,
+                                             interpret=True)))
+
+        def scan_loss(xi, h0, wh, bh):
+            def step(h, xi_t):
+                hh = jnp.dot(h, wh) + bh
+                ir, iz, in_ = jnp.split(xi_t, 3, -1)
+                hr, hz, hn = jnp.split(hh, 3, -1)
+                r = jax.nn.sigmoid(ir + hr)
+                z = jax.nn.sigmoid(iz + hz)
+                n = jnp.tanh(in_ + r * hn)
+                hn_ = (1 - z) * n + z * h
+                return hn_, hn_
+            _, outs = jax.lax.scan(step, h0, xi.transpose(1, 0, 2))
+            return jnp.sum(jnp.sin(outs.transpose(1, 0, 2)))
+
+        args = (xi, h0, layer["wh"], layer["bh"])
+
+        def scan_outs(h0):
+            def step(h, xi_t):
+                hh = jnp.dot(h, layer["wh"]) + layer["bh"]
+                ir, iz, in_ = jnp.split(xi_t, 3, -1)
+                hr, hz, hn = jnp.split(hh, 3, -1)
+                r = jax.nn.sigmoid(ir + hr)
+                z = jax.nn.sigmoid(iz + hz)
+                n = jnp.tanh(in_ + r * hn)
+                hn_ = (1 - z) * n + z * h
+                return hn_, hn_
+            return jax.lax.scan(step, h0,
+                                xi.transpose(1, 0, 2))[1].transpose(1, 0, 2)
+
+        np.testing.assert_allclose(
+            np.asarray(fused_gru(*args, interpret=True)),
+            np.asarray(scan_outs(h0)), rtol=1e-5, atol=1e-6)
+        g1 = jax.grad(fused_loss, argnums=(0, 1, 2, 3))(*args)
+        g2 = jax.grad(scan_loss, argnums=(0, 1, 2, 3))(*args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-5)
+
+
 def test_bipartite_prop_dense_matches_sparse():
     """Dense-MXU and edge-list segment-sum propagation agree."""
     import scipy.sparse as sp
