@@ -17,9 +17,16 @@ This kernel runs the whole time loop over a batch block in VMEM:
 
 Gate math matches layers.gru_apply exactly (torch nn.GRU convention,
 gates ordered r, z, n): see layers.py:136-162.
+
+Measured verdict (v5e, GRU4Rec ml-1m shape, full train step): 6.9 ms/step
+vs 6.2 ms for XLA's lax.scan — the recurrence is latency-bound on either
+schedule, so this kernel is an OPT-IN (gru_apply(fused=True)), kept as the
+building block for shapes where residual-streaming dominates (long L,
+wide H) and as a pinned-correct custom-VJP reference.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -111,7 +118,7 @@ def _bwd_kernel(xi_ref, h0_ref, wh_ref, bh_ref, out_ref, dout_ref,
 def _batch_block(B, L, H):
     """xi + dxi blocks (bb, L, 3H) are the VMEM hogs; ~<4MB each padded."""
     pad = lambda x, m: ((x + m - 1) // m) * m
-    budget = 4 * 1024 * 1024
+    budget = int(os.environ.get("RECBOLE_TPU_GRU_BUDGET", 4 * 1024 * 1024))
     for cand in (256, 128, 64, 32, 16, 8):
         if B % cand == 0 and cand * pad(L, 8) * pad(3 * H, 128) * 4 <= budget:
             return cand
