@@ -58,15 +58,16 @@ class Caser(SequentialRecommender):
         out_v = jnp.einsum("bld,lv->bvd", E, params["conv_v"],
                            preferred_element_type=jnp.float32)
         out_v = out_v.reshape(E.shape[0], -1)                  # (B, nv*D)
-        # horizontal: full-width filters of every height, max-pooled over time
-        # (einsum over stacked sliding windows; L is small so this stays fused)
-        L = E.shape[1]
+        # horizontal: full-width filters of every height, max-pooled over
+        # time — real XLA convolutions (an explicit sliding-window stack
+        # materializes sum_h (L-h+1)*h*D floats ~ 11.6GB/step at batch 2048
+        # and measured SLOWER than the reference's cuDNN path)
         outs_h = []
         for h, w in zip(self.heights, params["conv_h"]):
-            windows = jnp.stack([E[:, i:i + h, :] for i in range(L - h + 1)],
-                                axis=1)                        # (B, T, h, D)
-            act = jax.nn.relu(jnp.einsum("bthd,hdo->bto", windows, w,
-                                         preferred_element_type=jnp.float32))
+            act = jax.nn.relu(jax.lax.conv_general_dilated(
+                E, w, window_strides=(1,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=jnp.float32))           # (B, T, nh)
             outs_h.append(jnp.max(act, axis=1))                # (B, nh)
         out_h = jnp.concatenate(outs_h, -1)
         x = jnp.concatenate([out_v, out_h], -1)
