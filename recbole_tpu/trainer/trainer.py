@@ -823,10 +823,14 @@ class Trainer:
         reference LossEvaluator, evaluators.py:289-367)."""
         model = self.model
         label_f = self.config["LABEL_FIELD"]
-        def _predict(p, b):
-            with model.bind_consts(model.consts_of(p)):
-                return model.predict(p, b)
-        predict = jax.jit(_predict)
+        # jit ONCE per trainer: a fresh jax.jit(closure) per evaluate() call
+        # misses the trace cache and re-compiles every epoch's validation
+        predict = getattr(self, "_individual_predict", None)
+        if predict is None:
+            def _predict(p, b):
+                with model.bind_consts(model.consts_of(p)):
+                    return model.predict(p, b)
+            predict = self._individual_predict = jax.jit(_predict)
         collector = ValueCollector(self.config)
         pending = []  # device-side predictions; ONE host transfer at the end
         for batch in eval_data:

@@ -61,6 +61,15 @@ REFERENCE = {
     "FFM": (22.98, 2.47),
     "FwFM": (23.38, 2.50),
     "xDeepFM": (24.40, 2.30),
+    # Knowledge-based_recommendation.md:26-35 (ml-1m, 79K entities, 386K triples)
+    "CKE": (3.76, 8.73),
+    "KTUP": (3.82, 17.68),
+    "RippleNet": (9.39, 13.13),
+    "KGAT": (9.59, 8.63),
+    "KGNNLS": (4.78, 15.09),
+    "KGCN": (2.25, 13.71),
+    "MKR": (6.25, 14.89),
+    "CFKG": (1.49, 9.76),
 }
 
 N_USERS, N_ITEMS, N_INTER = 6040, 3706, 1_000_209
@@ -89,6 +98,21 @@ def synth_ml1m_dir(root="/tmp/bench_ml1m_synth"):
         cls = rng.randint(1, 19, N_ITEMS)
         np.savetxt(fh, np.stack([np.arange(1, N_ITEMS + 1), cls], axis=1),
                    fmt="%d", delimiter="\t")
+    # knowledge graph at the reference's ml-1m KG scale (79K entities /
+    # 386K triples / 51 relations, Knowledge-based_recommendation.md:5-9)
+    n_ent, n_trip, n_rel = 79388, 385923, 51
+    heads = rng.randint(0, n_ent, n_trip)
+    tails = rng.randint(0, n_ent, n_trip)
+    rels = rng.randint(0, n_rel, n_trip)
+    with open(os.path.join(d, "ml1m.kg"), "w") as fh:
+        fh.write("head_id:token\trelation_id:token\ttail_id:token\n")
+        np.savetxt(fh, np.stack([heads, rels, tails], axis=1),
+                   fmt="e%d\tr%d\te%d")
+    with open(os.path.join(d, "ml1m.link"), "w") as fh:
+        fh.write("item_id:token\tentity_id:token\n")
+        ent = rng.choice(n_ent, N_ITEMS, replace=False)
+        for i in range(N_ITEMS):
+            fh.write(f"{i + 1}\te{ent[i]}\n")
     return root
 
 
