@@ -150,16 +150,41 @@ class AbstractRecommender:
         the trainer falls back to chunked ``predict`` when absent."""
         raise NotImplementedError
 
+    # models whose per-pair predict carries heavy per-item state (sampled
+    # neighbor trees, label propagation) set this to bound the number of
+    # (user, item) pairs alive at once; None = flatten everything
+    score_pair_block = None
+
     def score_items(self, params, batch, items):
         """(B, C) scores of candidate ``items`` for each row. Default flattens
         to ``predict``; models with a cheap representation (one user/seq vector
         dotted with item embeddings) override this to avoid C-fold repeats."""
+        import jax
         import jax.numpy as jnp
         B, C = items.shape
+        if self.score_pair_block:
+            uid_f = self.config["USER_ID_FIELD"]
+            flat_u = jnp.repeat(batch[uid_f], C, axis=0)
+            flat_i = items.reshape(-1)
+            P = B * C
+            pb = int(self.score_pair_block)
+            n_pb = -(-P // pb)
+            fu = jnp.pad(flat_u, (0, n_pb * pb - P))
+            fi = jnp.pad(flat_i, (0, n_pb * pb - P))
+            out = jax.lax.map(
+                lambda uv: self._pair_scores(params, uv[0], uv[1]),
+                (fu.reshape(n_pb, pb), fi.reshape(n_pb, pb)))
+            return out.reshape(-1)[:P].reshape(B, C)
         flat = {k: (v if v.ndim == 0 else jnp.repeat(v, C, axis=0))
                 for k, v in batch.items()}
         flat[self.config["ITEM_ID_FIELD"]] = items.reshape(-1)
         return self.predict(params, flat).reshape(B, C)
+
+    def _pair_scores(self, params, users, items):
+        """(P,) scores for aligned (user, item) pairs — the hook
+        ``score_pair_block`` models implement (ranking scores, so no
+        sigmoid needed)."""
+        raise NotImplementedError
 
     def num_params(self, params):
         import jax

@@ -38,9 +38,27 @@ class KGAT(KnowledgeRecommender):
         self.reg_weight = config["reg_weight"]
         self.aggregator = config["aggregator_type"]
         h, r, t = dataset.ckg_arrays()
+        # edges SORTED BY RELATION so update_attentive_A can run one static
+        # (E_r, D) @ (D, Dk) matmul per relation — the per-edge trans_w
+        # gather it replaces is (E, D, Dk): 45GB at ml-1m KG scale
+        import numpy as np
+        order = np.argsort(r, kind="stable")
+        h, r, t = h[order], r[order], t[order]
+        counts = np.bincount(r, minlength=self.n_relations)
+        ends = np.cumsum(counts)
+        self._rel_slices = [(int(ends[i] - counts[i]), int(ends[i]))
+                            for i in range(self.n_relations)]
         self.edge_h = self.register_const("edge_h", h)   # node = entity id, users offset later
         self.edge_r = self.register_const("edge_r", r)
         self.edge_t = self.register_const("edge_t", t)
+        # second copy sorted by HEAD: per-step propagation and the edge
+        # softmax run segment ops with indices_are_sorted=True (unsorted
+        # segment_sum over the 2.8M-edge CKG measured 0.3x the reference);
+        # edge_perm maps the relation-sorted order into head-sorted order
+        hperm = np.argsort(h, kind="stable")
+        self.edge_perm = self.register_const("edge_perm", hperm.astype(np.int32))
+        self.edge_h_hs = self.register_const("edge_h_hs", h[hperm])
+        self.edge_t_hs = self.register_const("edge_t_hs", t[hperm])
         self.n_nodes = self.n_entities + self.n_users
         self.n_edges = len(h)
 
@@ -70,31 +88,45 @@ class KGAT(KnowledgeRecommender):
         return params
 
     def _init_attention(self):
-        deg = np.bincount(np.asarray(self.edge_h.value), minlength=self.n_nodes)
-        return jnp.asarray(1.0 / np.maximum(deg, 1))[jnp.asarray(self.edge_h)]
+        """Initial attention (row-normalized adjacency), HEAD-SORTED order —
+        the storage convention for params["edge_attention"] throughout."""
+        deg = np.bincount(np.asarray(self.edge_h_hs.value),
+                          minlength=self.n_nodes)
+        return jnp.asarray(1.0 / np.maximum(deg, 1))[
+            jnp.asarray(self.edge_h_hs)]
 
     def _all_embeddings(self, params):
         return jnp.concatenate([params["entity_embedding"],
                                 params["user_embedding"]], 0)
 
-    def _edge_softmax(self, scores):
-        """Softmax of edge scores over each head node's outgoing edges."""
-        seg_max = jax.ops.segment_max(scores, jnp.asarray(self.edge_h),
-                                      num_segments=self.n_nodes)
-        e = jnp.exp(scores - seg_max[jnp.asarray(self.edge_h)])
-        seg_sum = jax.ops.segment_sum(e, jnp.asarray(self.edge_h),
-                                      num_segments=self.n_nodes)
-        return e / jnp.maximum(seg_sum[jnp.asarray(self.edge_h)], 1e-12)
+    def _edge_softmax(self, scores_hs):
+        """Softmax of HEAD-SORTED edge scores over each head node's outgoing
+        edges; sortedness lets XLA lower the segment ops as linear scans."""
+        h_hs = jnp.asarray(self.edge_h_hs)
+        seg_max = jax.ops.segment_max(scores_hs, h_hs,
+                                      num_segments=self.n_nodes,
+                                      indices_are_sorted=True)
+        e = jnp.exp(scores_hs - seg_max[h_hs])
+        seg_sum = jax.ops.segment_sum(e, h_hs, num_segments=self.n_nodes,
+                                      indices_are_sorted=True)
+        return e / jnp.maximum(seg_sum[h_hs], 1e-12)
 
     def update_attentive_A(self, params):
         """Recompute per-edge attention from TransR scores (stop-gradient;
         parity: kgat.py update_attentive_A)."""
         x = self._all_embeddings(params)
-        w = params["trans_w"][jnp.asarray(self.edge_r)]                     # (E, D, Dk)
-        h_e = jnp.einsum("ed,edk->ek", x[jnp.asarray(self.edge_h)], w)
-        t_e = jnp.einsum("ed,edk->ek", x[jnp.asarray(self.edge_t)], w)
-        r_e = params["relation_embedding"][jnp.asarray(self.edge_r)]
-        scores = jnp.sum(t_e * jnp.tanh(h_e + r_e), -1)
+        h_all = x[jnp.asarray(self.edge_h)]                                 # (E, D)
+        t_all = x[jnp.asarray(self.edge_t)]
+        parts = []
+        for r, (s, e) in enumerate(self._rel_slices):
+            if s == e:
+                continue
+            w = params["trans_w"][r]                                        # (D, Dk)
+            h_e = jnp.dot(h_all[s:e], w, preferred_element_type=jnp.float32)
+            t_e = jnp.dot(t_all[s:e], w, preferred_element_type=jnp.float32)
+            parts.append(jnp.sum(
+                t_e * jnp.tanh(h_e + params["relation_embedding"][r]), -1))
+        scores = jnp.concatenate(parts)[jnp.asarray(self.edge_perm)]
         att = jax.lax.stop_gradient(self._edge_softmax(scores))
         out = dict(params)
         out["edge_attention"] = att
@@ -106,9 +138,11 @@ class KGAT(KnowledgeRecommender):
         outs = [x]
         for layer in params["agg"]:
             # side = sum over outgoing edges of att * tail embedding
-            msgs = x[jnp.asarray(self.edge_t)] * att[:, None]
-            side = jax.ops.segment_sum(msgs, jnp.asarray(self.edge_h),
-                                       num_segments=self.n_nodes)
+            # (head-sorted edges -> sorted segment_sum, the per-step hot op)
+            msgs = x[jnp.asarray(self.edge_t_hs)] * att[:, None]
+            side = jax.ops.segment_sum(msgs, jnp.asarray(self.edge_h_hs),
+                                       num_segments=self.n_nodes,
+                                       indices_are_sorted=True)
             if self.aggregator == "gcn":
                 x = jax.nn.leaky_relu(
                     jnp.dot(x + side, layer["w1"],

@@ -109,6 +109,14 @@ class KGCN(KnowledgeRecommender):
             vectors = new_vectors
         return vectors[0][:, 0]                                # (B, D)
 
+    # every (user, item) pair drags its sampled neighbor tree through the
+    # aggregators — bound the pairs alive at once so chunked full-sort eval
+    # doesn't materialize (B * n_items, S^n_iter, D)
+    score_pair_block = 8192
+
+    def _pair_scores(self, params, users, items):
+        return self._logits(params, users, items)
+
     def _logits(self, params, user, item):
         i_repr = self._item_repr(params, user, item)
         return jnp.sum(params["user_embedding"][user] * i_repr, -1)
