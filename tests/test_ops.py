@@ -142,6 +142,38 @@ def test_fused_gru_matches_scan():
                                        rtol=2e-4, atol=1e-5)
 
 
+def test_sorted_edge_propagate_matches_autodiff():
+    """Scatter-free custom VJP == plain gather+segment_sum autodiff."""
+    import jax
+    from recbole_tpu.ops.edge_prop import (build_sorted_edge_consts,
+                                           sorted_edge_propagate)
+    rng = np.random.RandomState(0)
+    N, E, D = 50, 400, 8
+    heads = rng.randint(0, N, E)
+    tails = rng.randint(0, N, E)
+    order, c = build_sorted_edge_consts(heads, tails, N)
+    x = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    att = jnp.asarray(rng.rand(E).astype(np.float32))[jnp.asarray(order)]
+    args = tuple(jnp.asarray(c[k]) for k in
+                 ["ep_heads", "ep_tails", "ep_tail_perm", "ep_tstarts",
+                  "ep_tends", "ep_hstarts", "ep_hends"])
+
+    def f_custom(x, att):
+        return jnp.sum(jnp.sin(sorted_edge_propagate(x, att, *args)))
+
+    def f_ref(x, att):
+        msgs = x[args[1]] * att[:, None]
+        return jnp.sum(jnp.sin(
+            jax.ops.segment_sum(msgs, args[0], num_segments=N)))
+
+    np.testing.assert_allclose(f_custom(x, att), f_ref(x, att), rtol=1e-5)
+    g1 = jax.grad(f_custom, argnums=(0, 1))(x, att)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(x, att)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_bipartite_prop_dense_matches_sparse():
     """Dense-MXU and edge-list segment-sum propagation agree."""
     import scipy.sparse as sp
