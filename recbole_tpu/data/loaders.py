@@ -185,7 +185,10 @@ class SequentialEvalLoader:
             split.item_stream, config["MAX_ITEM_LIST_LENGTH"],
             config["ITEM_ID_FIELD"] + config["LIST_SUFFIX"], self.len_f)
         if batch_size is None:
-            budget = (config["eval_batch_size"] or 4096) * 4096
+            # (B, n_items) score-matrix budget ~512MB: catalog-scale item
+            # counts otherwise shrink B to ~170 rows and the eval becomes
+            # dispatch-bound (601 batches measured at Yelp shape)
+            budget = (config["eval_batch_size"] or 4096) * 32768
             batch_size = int(np.clip(budget // max(n_items, 1), 8, 4096))
             batch_size = min(batch_size, max(len(split), 8))
         self.batch_size = batch_size
@@ -349,9 +352,10 @@ class FullSortEvalLoader:
         self.max_pos = self.pos_items.shape[1]
 
         if batch_size is None:
-            # scale user-batch so the (B, n_items) score matrix stays ~64MB,
-            # and never pad beyond the actual eval-user count
-            budget = (config["eval_batch_size"] or 4096) * 4096
+            # scale user-batch so the (B, n_items) score matrix stays ~512MB
+            # (64MB measured dispatch-bound at catalog scale), never padding
+            # beyond the actual eval-user count
+            budget = (config["eval_batch_size"] or 4096) * 32768
             batch_size = int(np.clip(budget // max(n_items, 1), 8, 4096))
             batch_size = min(batch_size, max(len(self.users), 8))
         self.batch_size = batch_size
