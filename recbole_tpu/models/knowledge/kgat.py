@@ -51,25 +51,63 @@ class KGAT(KnowledgeRecommender):
         self.edge_h = self.register_const("edge_h", h)   # node = entity id, users offset later
         self.edge_r = self.register_const("edge_r", r)
         self.edge_t = self.register_const("edge_t", t)
-        # second copy sorted by HEAD plus tail-order boundary tables: the
-        # per-step propagation runs through ops/edge_prop.py's scatter-free
-        # custom VJP (the autodiff scatter-add backward measured 47ms of a
-        # 52ms step at CKG scale); edge_perm maps relation-sorted order
+        # second copy sorted by HEAD (the storage convention for
+        # params["edge_attention"]); edge_perm maps relation-sorted order
         # (the attention update's layout) into head-sorted order
-        from ...ops.edge_prop import build_sorted_edge_consts
-        hperm, ep = build_sorted_edge_consts(h, t, self.n_entities
-                                             + self.n_users)
+        from ...ops.edge_prop import build_ell_consts
+        self.n_nodes = self.n_entities + self.n_users
+        hperm = np.argsort(h, kind="stable")
         self.edge_perm = self.register_const("edge_perm",
                                              hperm.astype(np.int32))
-        self.edge_h_hs = self.register_const("edge_h_hs", ep["ep_heads"])
-        self.edge_t_hs = self.register_const("edge_t_hs", ep["ep_tails"])
-        self.ep_tail_perm = self.register_const("ep_tail_perm",
-                                                ep["ep_tail_perm"])
-        self.ep_tstarts = self.register_const("ep_tstarts", ep["ep_tstarts"])
-        self.ep_tends = self.register_const("ep_tends", ep["ep_tends"])
-        self.ep_hstarts = self.register_const("ep_hstarts", ep["ep_hstarts"])
-        self.ep_hends = self.register_const("ep_hends", ep["ep_hends"])
-        self.n_nodes = self.n_entities + self.n_users
+        h_hs, t_hs = h[hperm], t[hperm]
+        self.edge_h_hs = self.register_const("edge_h_hs",
+                                             h_hs.astype(np.int32))
+        # TPU propagation routing. Only the USER and ITEM rows of the
+        # propagated output are ever consumed (propagate() returns
+        # final[n_entities:] and final[:n_items]; parity kgat.py forward),
+        # so for the default single-layer config the whole CKG propagation
+        # collapses to two dense MXU matmuls over the bipartite
+        # user<->item interaction blocks plus a small item->entity KG
+        # fringe. Edge-list gathers are row-rate-bound on TPU (~6ns/row:
+        # a 2M-edge epoch spends 9.5s in gathers alone — the reference's
+        # ENTIRE epoch time); the dense blocks are (n_users, n_items)
+        # matmuls rebuilt once per epoch when the attention updates.
+        # Multi-layer configs need intermediate entity rows and fall back
+        # to the scatter-free ELL formulation (ops/edge_prop.py).
+        is_user_h = h_hs >= self.n_entities
+        is_item_h = h_hs < self.n_items
+        self._ui_sel = np.nonzero(is_user_h)[0]
+        self._iu_sel = np.nonzero(is_item_h & (t_hs >= self.n_entities))[0]
+        fringe = np.nonzero(is_item_h & (t_hs < self.n_entities))[0]
+        self.dense_path = (len(self.layers) == 1
+                           and bool((t_hs[self._ui_sel] < self.n_items).all()))
+        if self.dense_path:
+            self._ui_rows = h_hs[self._ui_sel] - self.n_entities
+            self._ui_cols = t_hs[self._ui_sel]
+            self._iu_rows = h_hs[self._iu_sel]
+            self._iu_cols = t_hs[self._iu_sel] - self.n_entities
+            self.fringe_sel = self.register_const(
+                "fringe_sel", fringe.astype(np.int32))
+            fri_consts, self._fri_shapes = build_ell_consts(
+                h_hs[fringe], t_hs[fringe], self.n_items, self.n_entities,
+                prefix="fri")
+            self._fri = {k: self.register_const(k, v)
+                         for k, v in fri_consts.items()}
+            att0 = np.asarray(self._init_attention())
+            a_ui = np.zeros((self.n_users, self.n_items), np.float32)
+            np.add.at(a_ui, (self._ui_rows, self._ui_cols),
+                      att0[self._ui_sel])
+            a_iu = np.zeros((self.n_items, self.n_users), np.float32)
+            np.add.at(a_iu, (self._iu_rows, self._iu_cols),
+                      att0[self._iu_sel])
+            self.att_ui_dense = self.register_const("att_ui_dense", a_ui)
+            self.att_iu_dense = self.register_const("att_iu_dense", a_iu)
+            self._dense_idx = None  # device copies, first update_attentive_A
+        else:
+            ell_consts, self._ell_shapes = build_ell_consts(
+                h_hs, t_hs, self.n_nodes)
+            self._ell = {k: self.register_const(k, v)
+                         for k, v in ell_consts.items()}
         self.n_edges = len(h)
 
     def init_params(self, rng):
@@ -123,7 +161,9 @@ class KGAT(KnowledgeRecommender):
 
     def update_attentive_A(self, params):
         """Recompute per-edge attention from TransR scores (stop-gradient;
-        parity: kgat.py update_attentive_A)."""
+        parity: kgat.py update_attentive_A). On the dense path this also
+        rebuilds the per-epoch dense bipartite attention blocks (runs eager,
+        once per epoch)."""
         x = self._all_embeddings(params)
         h_all = x[jnp.asarray(self.edge_h)]                                 # (E, D)
         t_all = x[jnp.asarray(self.edge_t)]
@@ -140,44 +180,94 @@ class KGAT(KnowledgeRecommender):
         att = jax.lax.stop_gradient(self._edge_softmax(scores))
         out = dict(params)
         out["edge_attention"] = att
+        if self.dense_path:
+            if self._dense_idx is None:
+                self._dense_idx = tuple(
+                    jnp.asarray(a) for a in
+                    (self._ui_sel, self._ui_rows, self._ui_cols,
+                     self._iu_sel, self._iu_rows, self._iu_cols))
+            ui_sel, ui_r, ui_c, iu_sel, iu_r, iu_c = self._dense_idx
+            a_ui = jnp.zeros((self.n_users, self.n_items), jnp.float32)
+            a_ui = a_ui.at[ui_r, ui_c].add(att[ui_sel])
+            a_iu = jnp.zeros((self.n_items, self.n_users), jnp.float32)
+            a_iu = a_iu.at[iu_r, iu_c].add(att[iu_sel])
+            const = dict(out.get("_const", {}))
+            const["att_ui_dense"] = a_ui
+            const["att_iu_dense"] = a_iu
+            out["_const"] = const
         return out
 
+    def _agg(self, x, side, layer):
+        if self.aggregator == "gcn":
+            return jax.nn.leaky_relu(
+                jnp.dot(x + side, layer["w1"],
+                        preferred_element_type=jnp.float32) + layer["b1"])
+        if self.aggregator == "graphsage":
+            return jax.nn.leaky_relu(
+                jnp.dot(jnp.concatenate([x, side], -1)[:, :layer["w1"].shape[0]],
+                        layer["w1"], preferred_element_type=jnp.float32)
+                + layer["b1"])
+        add = jax.nn.leaky_relu(
+            jnp.dot(x + side, layer["w1"],
+                    preferred_element_type=jnp.float32) + layer["b1"])
+        mul = jax.nn.leaky_relu(
+            jnp.dot(x * side, layer["w2"],
+                    preferred_element_type=jnp.float32) + layer["b2"])
+        return add + mul
+
+    @staticmethod
+    def _row_norm(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-12)
+
+    def _propagate_dense(self, params, rng):
+        """Single-layer propagation restricted to the consumed rows: two
+        dense bipartite matmuls + the item->entity KG fringe (ELL)."""
+        from ...ops.edge_prop import ell_propagate
+        xe = params["entity_embedding"]
+        xu = params["user_embedding"]
+        xi = xe[:self.n_items]
+        att = jax.lax.stop_gradient(params["edge_attention"])
+        a_ui = jax.lax.stop_gradient(jnp.asarray(self.att_ui_dense))
+        a_iu = jax.lax.stop_gradient(jnp.asarray(self.att_iu_dense))
+        su = jnp.dot(a_ui, xi, preferred_element_type=jnp.float32)
+        si = jnp.dot(a_iu, xu, preferred_element_type=jnp.float32)
+        fri = {k: jnp.asarray(v) for k, v in self._fri.items()}
+        si = si + ell_propagate(
+            self._fri_shapes, xe, att[jnp.asarray(self.fringe_sel)],
+            fri["frif_eidx"], fri["frif_nbr"], fri["frif_inv"],
+            fri["frib_eidx"], fri["frib_nbr"], fri["frib_inv"])
+        layer = params["agg"][0]
+        x1_u = self._agg(xu, su, layer)
+        x1_i = self._agg(xi, si, layer)
+        if rng is not None and self.mess_dropout > 0:
+            rng, ku, ki = jax.random.split(rng, 3)
+            x1_u = dropout_apply(ku, x1_u, self.mess_dropout)
+            x1_i = dropout_apply(ki, x1_i, self.mess_dropout)
+        users = jnp.concatenate([xu, self._row_norm(x1_u)], -1)
+        items = jnp.concatenate([xi, self._row_norm(x1_i)], -1)
+        return users, items
+
     def propagate(self, params, rng=None):
+        if self.dense_path:
+            return self._propagate_dense(params, rng)
         x = self._all_embeddings(params)
         att = jax.lax.stop_gradient(params["edge_attention"])
         outs = [x]
-        from ...ops.edge_prop import sorted_edge_propagate
+        from ...ops.edge_prop import ell_propagate
+        ell = {k: jnp.asarray(v) for k, v in self._ell.items()}
         for layer in params["agg"]:
             # side = sum over outgoing edges of att * tail embedding
-            # (scatter-free custom VJP — see ops/edge_prop.py)
-            side = sorted_edge_propagate(
-                x, att, jnp.asarray(self.edge_h_hs),
-                jnp.asarray(self.edge_t_hs),
-                jnp.asarray(self.ep_tail_perm),
-                jnp.asarray(self.ep_tstarts), jnp.asarray(self.ep_tends),
-                jnp.asarray(self.ep_hstarts), jnp.asarray(self.ep_hends))
-            if self.aggregator == "gcn":
-                x = jax.nn.leaky_relu(
-                    jnp.dot(x + side, layer["w1"],
-                            preferred_element_type=jnp.float32) + layer["b1"])
-            elif self.aggregator == "graphsage":
-                x = jax.nn.leaky_relu(
-                    jnp.dot(jnp.concatenate([x, side], -1)[:, :layer["w1"].shape[0]],
-                            layer["w1"], preferred_element_type=jnp.float32)
-                    + layer["b1"])
-            else:  # 'bi'
-                add = jax.nn.leaky_relu(
-                    jnp.dot(x + side, layer["w1"],
-                            preferred_element_type=jnp.float32) + layer["b1"])
-                mul = jax.nn.leaky_relu(
-                    jnp.dot(x * side, layer["w2"],
-                            preferred_element_type=jnp.float32) + layer["b2"])
-                x = add + mul
+            # (scatter-free ELL gather+reduce — see ops/edge_prop.py)
+            side = ell_propagate(
+                self._ell_shapes, x, att, ell["ellf_eidx"], ell["ellf_nbr"],
+                ell["ellf_inv"], ell["ellb_eidx"], ell["ellb_nbr"],
+                ell["ellb_inv"])
+            x = self._agg(x, side, layer)
             if rng is not None and self.mess_dropout > 0:
                 rng, dk = jax.random.split(rng)
                 x = dropout_apply(dk, x, self.mess_dropout)
-            x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
-                                1e-12)
+            x = self._row_norm(x)
             outs.append(x)
         final = jnp.concatenate(outs, -1)
         users = final[self.n_entities:]

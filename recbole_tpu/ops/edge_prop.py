@@ -25,6 +25,8 @@ params["_const"] as traced args — multi-MB jit literals compile
 pathologically slowly on remote-compile backends.
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -100,3 +102,130 @@ def _bwd(res, d_out):
 
 
 sorted_edge_propagate.defvjp(_fwd, _bwd)
+
+
+# -- ELL (degree-bucketed padded neighbor lists) propagation -----------------
+#
+# The sorted-segment formulation above still pays for a segment_sum scatter in
+# the forward (21 ms of a 61 ms KGAT step at 2M-edge CKG scale — XLA lowers it
+# as a serializing scatter even with indices_are_sorted) and a cumsum-shaped
+# backward (~10 ms of pad/slice). When the edge weights do NOT need gradients
+# (KGAT stop-gradients its attention), the whole propagation collapses to two
+# dense gather+reduce passes over padded neighbor lists:
+#
+#   forward : out[n]  = sum_k att[n,k] * x[nbr[n,k]]      (head-grouped ELL)
+#   backward: d_x[m]  = sum_k att'[m,k] * d_out[nbr'[m,k]] (tail-grouped ELL)
+#
+# No scatter, no cumsum, no d_att work. Nodes are bucketed by ceil(log2(deg))
+# so each bucket is a static (n_b, K_b) array with <2x padding even on
+# power-law graphs (hubs land in their own buckets). Padded slots point at a
+# sentinel edge E whose attention is 0. Bucket rows are re-ordered back to
+# node order with an inverse-permutation GATHER (never a scatter).
+#
+# Measured at KGAT ml-1m CKG scale (85K nodes, 2M edges, D=64): 61 -> 11 ms
+# per train step vs the sorted-segment custom VJP.
+
+
+def _ell_side(group, other, E, n_nodes, prefix):
+    """One grouping direction: bucket nodes by log2(degree) and build padded
+    (n_b, K_b) tables of edge ids (for weight lookup) and neighbor node ids
+    (pre-resolved ``other`` endpoints). Returns (consts, static shapes,
+    total padded rows)."""
+    deg = np.bincount(group, minlength=n_nodes)
+    order = np.argsort(group, kind="stable")
+    starts = np.searchsorted(group[order], np.arange(n_nodes))
+    nz = np.nonzero(deg)[0]
+    cls = np.zeros(n_nodes, np.int64)
+    cls[nz] = np.ceil(np.log2(np.maximum(deg[nz], 1))).astype(np.int64)
+    eidx_parts, nbr_parts, shapes = [], [], []
+    pos = np.empty(n_nodes, np.int64)
+    row = 0
+    for k in sorted(set(cls[nz].tolist()), reverse=True):
+        nodes = nz[cls[nz] == k]
+        Kb = int(deg[nodes].max())
+        nb = len(nodes)
+        nbp = -(-nb // 8) * 8  # sublane-pad rows
+        col = np.arange(Kb)
+        mask = col[None, :] < deg[nodes, None]
+        mat = np.full((nbp, Kb), E, np.int64)
+        src = np.minimum(starts[nodes, None] + col[None, :], E - 1)
+        mat[:nb][mask] = order[src][mask]
+        pos[nodes] = row + np.arange(nb)
+        row += nbp
+        eidx_parts.append(mat.ravel())
+        nbr = np.zeros((nbp, Kb), np.int64)
+        nbr[:nb][mask] = other[order[src]][mask]
+        nbr_parts.append(nbr.ravel())
+        shapes.append((nbp, Kb))
+    pos[deg == 0] = row  # sentinel zero row appended after all buckets
+    consts = {
+        prefix + "_eidx": np.concatenate(eidx_parts).astype(np.int32)
+        if eidx_parts else np.zeros(0, np.int32),
+        prefix + "_nbr": np.concatenate(nbr_parts).astype(np.int32)
+        if nbr_parts else np.zeros(0, np.int32),
+        prefix + "_inv": pos.astype(np.int32),
+    }
+    return consts, tuple(shapes)
+
+
+def build_ell_consts(heads, tails, n_head_nodes, n_tail_nodes=None,
+                     prefix="ell"):
+    """numpy preprocessing for ``ell_propagate``. ``heads``/``tails`` must be
+    in the CANONICAL edge order the runtime weight vector uses (for KGAT:
+    head-sorted, the params['edge_attention'] convention). Supports
+    rectangular propagation (out over n_head_nodes rows, x over n_tail_nodes
+    rows). Returns (consts dict for params['_const'],
+    (f_shapes, b_shapes) static tuples)."""
+    heads = np.asarray(heads)
+    tails = np.asarray(tails)
+    if n_tail_nodes is None:
+        n_tail_nodes = n_head_nodes
+    E = len(heads)
+    fc, f_shapes = _ell_side(heads, tails, E, n_head_nodes, prefix + "f")
+    bc, b_shapes = _ell_side(tails, heads, E, n_tail_nodes, prefix + "b")
+    fc.update(bc)
+    return fc, (f_shapes, b_shapes)
+
+
+def _ell_rows(att_ext, x, eidx_flat, nbr_flat, shapes, inv):
+    rows, off = [], 0
+    for nb, kb in shapes:
+        idx = eidx_flat[off:off + nb * kb].reshape(nb, kb)
+        nbr = nbr_flat[off:off + nb * kb].reshape(nb, kb)
+        off += nb * kb
+        a = _take(att_ext, idx)                      # (nb, kb)
+        xg = _take(x, nbr)                           # (nb, kb, D)
+        rows.append(jnp.einsum("nk,nkd->nd", a, xg))
+    rows.append(jnp.zeros((1, x.shape[1]), x.dtype))
+    return _take(jnp.concatenate(rows, 0), inv)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def ell_propagate(shapes, x, att, f_eidx, f_nbr, f_inv, b_eidx, b_nbr, b_inv):
+    """out[n] = sum over edges e with head[e]==n of att[e] * x[tail[e]],
+    computed scatter-free via degree-bucketed padded neighbor lists.
+
+    ``att`` is treated as a CONSTANT (stop-gradient applied internally — its
+    cotangent is zero by the op's semantics, matching KGAT's per-epoch frozen
+    attention). ``shapes`` is the static (f_shapes, b_shapes) pair from
+    build_ell_consts; array args come from its consts dict."""
+    att_ext = jnp.concatenate(
+        [jax.lax.stop_gradient(att), jnp.zeros((1,), att.dtype)])
+    return _ell_rows(att_ext, x, f_eidx, f_nbr, shapes[0], f_inv)
+
+
+def _ell_fwd(shapes, x, att, f_eidx, f_nbr, f_inv, b_eidx, b_nbr, b_inv):
+    out = ell_propagate(shapes, x, att, f_eidx, f_nbr, f_inv, b_eidx, b_nbr,
+                        b_inv)
+    return out, (att, b_eidx, b_nbr, b_inv)
+
+
+def _ell_bwd(shapes, res, d_out):
+    att, b_eidx, b_nbr, b_inv = res
+    att_ext = jnp.concatenate(
+        [jax.lax.stop_gradient(att), jnp.zeros((1,), att.dtype)])
+    d_x = _ell_rows(att_ext, d_out, b_eidx, b_nbr, shapes[1], b_inv)
+    return d_x, None, None, None, None, None, None, None
+
+
+ell_propagate.defvjp(_ell_fwd, _ell_bwd)

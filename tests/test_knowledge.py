@@ -40,3 +40,57 @@ def test_kg_model_smoke(model, synth_dataset_dir, tmp_path):
         saved=False)
     tr = result["test_result"]
     assert tr and all(0.0 <= v <= 1.0 for v in tr.values())
+
+
+def test_kgat_dense_path_matches_full_ell(synth_dataset_dir, tmp_path):
+    """Single-layer dense bipartite propagation == full-graph ELL
+    propagation (same params, no dropout) on forward and loss grads."""
+    import jax
+    import jax.numpy as jnp
+    from recbole_tpu.data.utils import create_dataset, data_preparation
+    from recbole_tpu.models import get_model
+
+    cfg = Config("KGAT", "synth", config_dict={
+        "data_path": synth_dataset_dir, "state": "ERROR",
+        "checkpoint_dir": str(tmp_path / "saved"),
+        "log_dir": str(tmp_path / "log")}, _parse_cmd_line=False)
+    ds = create_dataset(cfg)
+    train, _, _ = data_preparation(cfg, ds)
+    m_dense = get_model("KGAT")(cfg, train.dataset)
+    assert m_dense.dense_path, "single-layer KGAT should take the dense path"
+    m_full = get_model("KGAT")(cfg, train.dataset)
+    m_full.dense_path = False
+    from recbole_tpu.ops.edge_prop import build_ell_consts
+    h, r, t = train.dataset.ckg_arrays()
+    hperm = np.argsort(h, kind="stable")
+    ell_consts, m_full._ell_shapes = build_ell_consts(
+        h[hperm], t[hperm], m_full.n_nodes)
+    m_full._ell = {k: m_full.register_const(k, v)
+                   for k, v in ell_consts.items()}
+
+    params = m_dense.init_params(jax.random.key(0, impl="rbg"))
+    ue1, ie1 = m_dense.propagate(params)
+    ue2, ie2 = m_full.propagate(params)
+    np.testing.assert_allclose(np.asarray(ue1), np.asarray(ue2),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ie1), np.asarray(ie2),
+                               rtol=2e-4, atol=1e-5)
+
+    batch = {m_dense.USER_ID: jnp.arange(8) % m_dense.n_users,
+             m_dense.ITEM_ID: jnp.arange(8) % m_dense.n_items,
+             m_dense.NEG_ITEM_ID: (jnp.arange(8) * 3) % m_dense.n_items}
+    g1 = jax.grad(lambda p: m_dense.calculate_loss(p, batch))(
+        {k: v for k, v in params.items()})
+    g2 = jax.grad(lambda p: m_full.calculate_loss(p, batch))(
+        {k: v for k, v in params.items()})
+    for key in ("user_embedding", "entity_embedding"):
+        np.testing.assert_allclose(np.asarray(g1[key]), np.asarray(g2[key]),
+                                   rtol=2e-4, atol=1e-5)
+
+    # per-epoch dense rebuild keeps the blocks in sync with edge_attention
+    p2 = m_dense.update_attentive_A(params)
+    a_ui = np.asarray(p2["_const"]["att_ui_dense"])
+    att = np.asarray(p2["edge_attention"])
+    np.testing.assert_allclose(a_ui[np.asarray(m_dense._ui_rows),
+                                    np.asarray(m_dense._ui_cols)],
+                               att[np.asarray(m_dense._ui_sel)], rtol=1e-5)

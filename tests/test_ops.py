@@ -174,6 +174,43 @@ def test_sorted_edge_propagate_matches_autodiff():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_ell_propagate_matches_segment_sum():
+    """Degree-bucketed ELL gather+reduce == gather+segment_sum reference,
+    forward and d_x; att cotangent is zero by the op's stop-grad semantics.
+    Graph includes a hub node and zero-degree nodes."""
+    import jax
+    from recbole_tpu.ops.edge_prop import build_ell_consts, ell_propagate
+    rng = np.random.RandomState(1)
+    N, D = 60, 8
+    heads = np.concatenate([rng.randint(0, 40, 300),
+                            np.full(90, 7)])   # node 7 is a hub; 40..59 deg-0 heads
+    tails = rng.randint(0, N, len(heads))
+    order = np.argsort(heads, kind="stable")
+    heads, tails = heads[order], tails[order]
+    consts, shapes = build_ell_consts(heads, tails, N)
+    args = tuple(jnp.asarray(consts[k]) for k in
+                 ["ellf_eidx", "ellf_nbr", "ellf_inv",
+                  "ellb_eidx", "ellb_nbr", "ellb_inv"])
+    x = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    att = jnp.asarray(rng.rand(len(heads)).astype(np.float32))
+
+    def f_ell(x, att):
+        return jnp.sum(jnp.sin(ell_propagate(shapes, x, att, *args)))
+
+    def f_ref(x, att):
+        msgs = x[jnp.asarray(tails)] * att[:, None]
+        return jnp.sum(jnp.sin(
+            jax.ops.segment_sum(msgs, jnp.asarray(heads), num_segments=N)))
+
+    np.testing.assert_allclose(f_ell(x, att), f_ref(x, att), rtol=1e-5)
+    g1 = jax.grad(f_ell, argnums=(0, 1))(x, att)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(x, att)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-4, atol=1e-5)
+    # att is stop-gradient'd inside the op
+    np.testing.assert_allclose(np.asarray(g1[1]), 0.0, atol=0)
+
+
 def test_bipartite_prop_dense_matches_sparse():
     """Dense-MXU and edge-list segment-sum propagation agree."""
     import scipy.sparse as sp
