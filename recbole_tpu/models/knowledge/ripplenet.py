@@ -82,17 +82,25 @@ class RippleNet(KnowledgeRecommender):
             "transform": xavier_normal(ks[2], (D, D)),
         }
 
-    def _score_candidates(self, params, user, cand):
+    def _score_candidates(self, params, user, cand, return_kg=False):
         """user: (B,), cand: (B, C) -> (B, C) scores. The per-user ripple
-        tensors (incl. the (M, D, D) relation matrices) are gathered ONCE per
-        user and shared across all C candidates — the memory-critical choice
-        for full-sort evaluation."""
+        tensors are gathered ONCE per user and shared across all C candidates
+        — the memory-critical choice for full-sort evaluation. The relation
+        transforms R[r] @ h for ALL hops run as a single relation-vocabulary
+        loop (they are independent of the candidate chain), and hop-0's
+        result doubles as the kg-reconstruction term's R h."""
+        B = user.shape[0]
         v = params["entity_embedding"][cand]                   # (B, C, D)
+        h_all = params["entity_embedding"][self.rip_h[user]]   # (B, H, M, D)
+        t_all = params["entity_embedding"][self.rip_t[user]]
+        r_all = jnp.asarray(self.rip_r)[user]                  # (B, H, M)
+        rh_all = self._rel_apply(
+            params, r_all.reshape(B, -1),
+            h_all.reshape(B, -1, self.embedding_size)).reshape(h_all.shape)
         o_sum = jnp.zeros_like(v)
         for hop in range(self.n_hop):
-            h_e = params["entity_embedding"][self.rip_h[user, hop]]  # (B, M, D)
-            t_e = params["entity_embedding"][self.rip_t[user, hop]]
-            rh = self._rel_apply(params, self.rip_r[user, hop], h_e)  # (B, M, D)
+            t_e = t_all[:, hop]
+            rh = rh_all[:, hop]                                # (B, M, D)
             probs = jax.nn.softmax(
                 jnp.einsum("bmi,bci->bcm", rh, v,
                            preferred_element_type=jnp.float32), -1)
@@ -103,7 +111,10 @@ class RippleNet(KnowledgeRecommender):
             v = jnp.dot(v + o, params["transform"],
                         preferred_element_type=jnp.float32)
         item_e = params["entity_embedding"][cand]
-        return jnp.sum(item_e * o_sum, -1)
+        scores = jnp.sum(item_e * o_sum, -1)
+        if return_kg:
+            return scores, (rh_all[:, 0], t_all[:, 0])
+        return scores
 
     def _rel_apply(self, params, rels, vecs):
         """y[b,m] = R[rels[b,m]] @ vecs[b,m] WITHOUT materializing per-memory
@@ -138,13 +149,12 @@ class RippleNet(KnowledgeRecommender):
     def calculate_loss(self, params, batch, rng=None):
         user, item = batch[self.USER_ID], batch[self.ITEM_ID]
         w = batch.get("_weight")
-        logits = self._forward(params, user, item)
-        loss = bce_loss(logits, batch[self.LABEL], w)
-        # kg reconstruction on hop-0 memories
-        h_e = params["entity_embedding"][self.rip_h[user, 0]]
-        t_e = params["entity_embedding"][self.rip_t[user, 0]]
-        rec = jnp.sum(t_e * self._rel_apply(params, self.rip_r[user, 0], h_e),
-                      -1)
+        scores, (rh0, t_e0) = self._score_candidates(
+            params, user, item[:, None], return_kg=True)
+        loss = bce_loss(scores[:, 0], batch[self.LABEL], w)
+        # kg reconstruction on hop-0 memories (t * (R h), rh0 reused from
+        # the scoring pass — identical relation transform)
+        rec = jnp.sum(t_e0 * rh0, -1)
         kg_term = -jnp.mean(jax.nn.log_sigmoid(rec))
         reg = self.reg_weight * (jnp.sum(params["entity_embedding"] ** 2)
                                  + jnp.sum(params["relation_embedding"] ** 2))
