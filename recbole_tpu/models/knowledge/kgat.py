@@ -102,7 +102,21 @@ class KGAT(KnowledgeRecommender):
                       att0[self._iu_sel])
             self.att_ui_dense = self.register_const("att_ui_dense", a_ui)
             self.att_iu_dense = self.register_const("att_iu_dense", a_iu)
-            self._dense_idx = None  # device copies, first update_attentive_A
+            # scatter coordinates for the per-epoch dense rebuild ride
+            # params['_const'] so update_attentive_A can run under jit
+            # without multi-MB closure literals
+            self.c_ui_sel = self.register_const(
+                "ui_sel", self._ui_sel.astype(np.int32))
+            self.c_ui_rows = self.register_const(
+                "ui_rows", self._ui_rows.astype(np.int32))
+            self.c_ui_cols = self.register_const(
+                "ui_cols", self._ui_cols.astype(np.int32))
+            self.c_iu_sel = self.register_const(
+                "iu_sel", self._iu_sel.astype(np.int32))
+            self.c_iu_rows = self.register_const(
+                "iu_rows", self._iu_rows.astype(np.int32))
+            self.c_iu_cols = self.register_const(
+                "iu_cols", self._iu_cols.astype(np.int32))
         else:
             ell_consts, self._ell_shapes = build_ell_consts(
                 h_hs, t_hs, self.n_nodes)
@@ -181,16 +195,14 @@ class KGAT(KnowledgeRecommender):
         out = dict(params)
         out["edge_attention"] = att
         if self.dense_path:
-            if self._dense_idx is None:
-                self._dense_idx = tuple(
-                    jnp.asarray(a) for a in
-                    (self._ui_sel, self._ui_rows, self._ui_cols,
-                     self._iu_sel, self._iu_rows, self._iu_cols))
-            ui_sel, ui_r, ui_c, iu_sel, iu_r, iu_c = self._dense_idx
+            ui_sel = jnp.asarray(self.c_ui_sel)
             a_ui = jnp.zeros((self.n_users, self.n_items), jnp.float32)
-            a_ui = a_ui.at[ui_r, ui_c].add(att[ui_sel])
+            a_ui = a_ui.at[jnp.asarray(self.c_ui_rows),
+                           jnp.asarray(self.c_ui_cols)].add(att[ui_sel])
+            iu_sel = jnp.asarray(self.c_iu_sel)
             a_iu = jnp.zeros((self.n_items, self.n_users), jnp.float32)
-            a_iu = a_iu.at[iu_r, iu_c].add(att[iu_sel])
+            a_iu = a_iu.at[jnp.asarray(self.c_iu_rows),
+                           jnp.asarray(self.c_iu_cols)].add(att[iu_sel])
             const = dict(out.get("_const", {}))
             const["att_ui_dense"] = a_ui
             const["att_iu_dense"] = a_iu

@@ -956,10 +956,24 @@ class KGATTrainer(Trainer):
     """Per epoch: RS pass, KG pass, then recompute the attentive adjacency
     (parity: reference KGATTrainer, trainer.py:484-508)."""
 
+    _att_update = None
+
     def _train_epoch(self, train_data, epoch_idx, mode=None):
         rs_loss = super()._train_epoch(train_data, epoch_idx, "rs")
         kg_loss = super()._train_epoch(train_data, epoch_idx, "kg")
-        self.params = self.model.update_attentive_A(self.params)
+        if self._att_update is None:
+            model = self.model
+
+            # one compiled program instead of ~100 eager dispatches (1.28s
+            # eager -> device time per epoch; the first EAGER call also paid
+            # a 188s per-op remote-compile cascade). Consts resolve through
+            # the traced params['_const'] subtree, not closure literals.
+            def _upd(params):
+                with model.bind_consts(model.consts_of(params)):
+                    return model.update_attentive_A(params)
+
+            self._att_update = jax.jit(_upd, donate_argnums=(0,))
+        self.params = self._att_update(self.params)
         rs = rs_loss if isinstance(rs_loss, tuple) else (rs_loss,)
         kg = kg_loss if isinstance(kg_loss, tuple) else (kg_loss,)
         return rs + kg
