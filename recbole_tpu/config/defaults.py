@@ -10,6 +10,11 @@ defaults; TPU-specific knobs are added under new keys (never reused names).
 GENERAL_DEFAULTS = {
     "gpu_id": 0,            # kept for config compat; ignored on TPU
     "use_gpu": True,        # kept for config compat; ignored on TPU
+    # jax platform override ("cpu" to force host execution, e.g. when no
+    # accelerator is reachable); None = jax's default platform selection.
+    # NOTE: the JAX_PLATFORMS env var cannot override a preinstalled PJRT
+    # plugin in some images — this knob uses jax.config, which can.
+    "platform": None,
     "seed": 2020,
     "state": "INFO",
     "reproducibility": True,

@@ -82,6 +82,43 @@ class RippleNet(KnowledgeRecommender):
             "transform": xavier_normal(ks[2], (D, D)),
         }
 
+    def _score_single(self, params, user, item, return_kg=False):
+        """C=1 scoring (training / pointwise predict). The attention logit
+        <R_r h, v> equals <R_r^T v, h>, so the relation transform can route
+        through the single CANDIDATE (B rows x n_relations) instead of the
+        B*H*M memory slots — a ~H*M-fold FLOP cut that removes the dominant
+        train-step cost (profiled: the memory-side transform was half the
+        epoch). Memory-side R h is still built for the kg-reconstruction
+        term, but only for hop 0 (a quarter of the rows)."""
+        E = params["entity_embedding"]
+        R = params["relation_embedding"]
+        v = E[item]                                    # (B, D)
+        h_all = E[self.rip_h[user]]                    # (B, H, M, D)
+        t_all = E[self.rip_t[user]]
+        r_all = jnp.asarray(self.rip_r)[user]          # (B, H, M)
+        onehot = jax.nn.one_hot(r_all, self.n_relations, dtype=jnp.float32)
+        item_e = v
+        o_sum = jnp.zeros_like(v)
+        for hop in range(self.n_hop):
+            # V[b,r,:] = R_r^T v_b — one (B, D) @ (D, R*D) MXU matmul
+            V = jnp.einsum("bi,rij->brj", v, R,
+                           preferred_element_type=jnp.float32)
+            P = jnp.einsum("brj,bmj->bmr", V, h_all[:, hop],
+                           preferred_element_type=jnp.float32)
+            logits = jnp.sum(P * onehot[:, hop], -1)   # (B, M)
+            probs = jax.nn.softmax(logits, -1)
+            probs = probs * self.rip_m[user, hop][:, None]
+            o = jnp.einsum("bm,bmi->bi", probs, t_all[:, hop],
+                           preferred_element_type=jnp.float32)
+            o_sum = o_sum + o
+            v = jnp.dot(v + o, params["transform"],
+                        preferred_element_type=jnp.float32)
+        scores = jnp.sum(item_e * o_sum, -1)
+        if return_kg:
+            rh0 = self._rel_apply(params, r_all[:, 0], h_all[:, 0])
+            return scores, (rh0, t_all[:, 0])
+        return scores
+
     def _score_candidates(self, params, user, cand, return_kg=False):
         """user: (B,), cand: (B, C) -> (B, C) scores. The per-user ripple
         tensors are gathered ONCE per user and shared across all C candidates
@@ -141,7 +178,7 @@ class RippleNet(KnowledgeRecommender):
         return out
 
     def _forward(self, params, user, item):
-        return self._score_candidates(params, user, item[:, None])[:, 0]
+        return self._score_single(params, user, item)
 
     def score_items(self, params, batch, items):
         return self._score_candidates(params, batch[self.USER_ID], items)
@@ -149,9 +186,9 @@ class RippleNet(KnowledgeRecommender):
     def calculate_loss(self, params, batch, rng=None):
         user, item = batch[self.USER_ID], batch[self.ITEM_ID]
         w = batch.get("_weight")
-        scores, (rh0, t_e0) = self._score_candidates(
-            params, user, item[:, None], return_kg=True)
-        loss = bce_loss(scores[:, 0], batch[self.LABEL], w)
+        scores, (rh0, t_e0) = self._score_single(
+            params, user, item, return_kg=True)
+        loss = bce_loss(scores, batch[self.LABEL], w)
         # kg reconstruction on hop-0 memories (t * (R h), rh0 reused from
         # the scoring pass — identical relation transform)
         rec = jnp.sum(t_e0 * rh0, -1)

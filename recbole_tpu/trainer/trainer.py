@@ -525,6 +525,7 @@ class Trainer:
         if show:
             plt.show()
         if save_path:
+            os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
             plt.savefig(save_path)
         plt.close()
 

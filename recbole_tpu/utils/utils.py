@@ -11,7 +11,11 @@ import numpy as np
 
 
 def init_jax(config) -> None:
-    """Process-level jax setup: persistent compilation cache."""
+    """Process-level jax setup: platform override + persistent compilation
+    cache. Must run before the first jax device use."""
+    if config["platform"]:
+        import jax
+        jax.config.update("jax_platforms", config["platform"])
     cache_dir = config["compilation_cache_dir"]
     if cache_dir:
         import jax

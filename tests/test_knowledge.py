@@ -42,6 +42,38 @@ def test_kg_model_smoke(model, synth_dataset_dir, tmp_path):
     assert tr and all(0.0 <= v <= 1.0 for v in tr.values())
 
 
+def test_ripplenet_single_path_matches_candidates(synth_dataset_dir, tmp_path):
+    """The C=1 candidate-routed scoring path (<R_r^T v, h> logits) must
+    equal the memory-routed path (<R_r h, v>) used for full-sort eval."""
+    import jax
+    import jax.numpy as jnp
+    from recbole_tpu.data.utils import create_dataset, data_preparation
+    from recbole_tpu.models import get_model
+
+    cfg = Config("RippleNet", "synth", config_dict={
+        "data_path": synth_dataset_dir, "state": "ERROR",
+        "checkpoint_dir": str(tmp_path / "saved"),
+        "log_dir": str(tmp_path / "log")}, _parse_cmd_line=False)
+    ds = create_dataset(cfg)
+    train, _, _ = data_preparation(cfg, ds)
+    m = get_model("RippleNet")(cfg, train.dataset)
+    params = m.init_params(jax.random.key(0, impl="rbg"))
+    user = jnp.arange(16) % m.n_users
+    item = (jnp.arange(16) * 7) % m.n_items
+    s1 = m._score_single(params, user, item)
+    s2 = m._score_candidates(params, user, item[:, None])[:, 0]
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=2e-4, atol=1e-5)
+    # kg side-channel identical between the paths too
+    _, (rh0a, t0a) = m._score_single(params, user, item, return_kg=True)
+    _, (rh0b, t0b) = m._score_candidates(params, user, item[:, None],
+                                         return_kg=True)
+    np.testing.assert_allclose(np.asarray(rh0a), np.asarray(rh0b),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t0a), np.asarray(t0b),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_kgat_dense_path_matches_full_ell(synth_dataset_dir, tmp_path):
     """Single-layer dense bipartite propagation == full-graph ELL
     propagation (same params, no dropout) on forward and loss grads."""
