@@ -528,10 +528,16 @@ class Dataset:
 
     @property
     def user_num(self):
+        # pure-feature CTR datasets (e.g. Criteo/Avazu: USER_ID_FIELD: ~) have
+        # no user axis; report a PAD-only vocabulary so downstream shapes work
+        if self.uid_field is None:
+            return 1
         return self.num(self.uid_field)
 
     @property
     def item_num(self):
+        if self.iid_field is None:
+            return 1
         return self.num(self.iid_field)
 
     @property

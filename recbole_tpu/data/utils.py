@@ -50,13 +50,19 @@ def data_preparation(config, dataset, save=False):
 
     uid_f, iid_f = dataset.uid_field, dataset.iid_field
     sequential = hasattr(train_ds, "item_stream")
+    # pure-feature CTR datasets (Criteo/Avazu style: USER_ID_FIELD: ~) carry no
+    # user/item ids; ranking history tables degenerate to empty
+    has_ui = sequential or (uid_f in train_ds.inter_feat
+                            and iid_f in train_ds.inter_feat)
     splits = {}
     for phase, ds in (("train", train_ds), ("valid", valid_ds), ("test", test_ds)):
         if sequential:
             splits[phase] = (np.asarray(ds.uid), np.asarray(ds.target))
-        else:
+        elif has_ui:
             splits[phase] = (np.asarray(ds.inter_feat[uid_f]),
                              np.asarray(ds.inter_feat[iid_f]))
+        else:
+            splits[phase] = (np.zeros(0, np.int64), np.zeros(0, np.int64))
     phase_history = PhaseHistory(dataset.user_num, dataset.item_num, splits)
 
     batch_kind = getattr(getattr(config, "model_class", None),

@@ -157,9 +157,19 @@ class ContextRecommender(AbstractRecommender):
             parts.append(pooled[:, None, :])
         return jnp.concatenate(parts, axis=1)
 
+    def batch_len(self, batch):
+        """Batch size from any (B,)-leading column — pure-feature datasets
+        (USER_ID_FIELD: ~) have no id column to anchor on."""
+        if self.USER_ID in batch:
+            return batch[self.USER_ID].shape[0]
+        for v in batch.values():
+            if hasattr(v, "ndim") and v.ndim >= 1:
+                return v.shape[0]
+        raise ValueError("cannot infer batch size from an empty batch")
+
     def first_order(self, params, batch):
         """(B,) linear term (parity: FMFirstOrderLinear, layers.py:905)."""
-        total = jnp.zeros(batch[self.USER_ID].shape[0]) + params["first_order_bias"]
+        total = jnp.zeros(self.batch_len(batch)) + params["first_order_bias"]
         for (field, vocab, fetch), off in zip(self.token_fields,
                                               self.token_offsets):
             total = total + params["token_bias"][fetch(batch) + off]

@@ -43,7 +43,7 @@ class DCN(ContextRecommender):
 
     def _logits(self, params, batch, rng=None):
         x0 = self.embed_input(params, batch).reshape(
-            batch[self.USER_ID].shape[0], -1)
+            self.batch_len(batch), -1)
         x = x0
         for w, b in zip(params["cross_w"], params["cross_b"]):
             xw = jnp.dot(x, w, preferred_element_type=jnp.float32)

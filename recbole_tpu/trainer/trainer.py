@@ -152,8 +152,22 @@ class Trainer:
         input_type = model.input_type
         uid_f = cfg["USER_ID_FIELD"]
         iid_f = cfg["ITEM_ID_FIELD"]
-        neg_f = cfg["NEG_PREFIX"] + iid_f
         label_f = cfg["LABEL_FIELD"]
+
+        if uid_f is None or iid_f is None:
+            # pure-feature CTR protocol (Criteo/Avazu: USER_ID_FIELD: ~) —
+            # labeled rows pass through untouched; nothing to sample against
+            transform = getattr(train_data, "device_transform", None)
+            consts = dict(transform.consts) if transform is not None else {}
+
+            def augment(batch, rng, consts):
+                if transform is not None:
+                    batch = transform(batch, consts)
+                return batch
+
+            return augment, consts
+
+        neg_f = cfg["NEG_PREFIX"] + iid_f
 
         t_hist, t_hlen = train_data.phase_history.device_tables("train")
         n_items = train_data.n_items
