@@ -57,6 +57,9 @@ class KGCN(KnowledgeRecommender):
                                          config["seed"] or 2020)
         self.adj_ent = self.register_const("adj_ent", ent)
         self.adj_rel = self.register_const("adj_rel", rel)
+        # the dense full-sort path below is derived for the single-hop
+        # aggregation; deeper stacks fall back to chunked pair scoring
+        self.full_sort_fallback = self.n_iter != 1
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 3 + self.n_iter)
@@ -132,3 +135,46 @@ class KGCN(KnowledgeRecommender):
     def predict(self, params, batch):
         return jax.nn.sigmoid(
             self._logits(params, batch[self.USER_ID], batch[self.ITEM_ID]))
+
+    def full_sort_predict(self, params, batch):
+        """Dense single-hop full sort. The chunked pair path re-gathers each
+        item's sampled neighbor tree once per USER — at ml-1m shape that is
+        ~250M gathered embedding rows per eval pass, and XLA gathers are
+        row-rate bound (~6ns/row), i.e. ~1.5s of pure gather. Here each item
+        chunk's (C, S) neighbor/relation tensors are gathered ONCE and every
+        user is routed through them with MXU einsums, so gather volume drops
+        B-fold (parity: reference full-sort over KGCN.forward,
+        kgcn.py:244-270, which recomputes per pair on GPU)."""
+        E = params["entity_embedding"]
+        W, b = params["agg_w"][0], params["agg_b"][0]
+        u_e = params["user_embedding"][batch[self.USER_ID]]     # (B, D)
+        B = u_e.shape[0]
+        n = self.n_items
+        chunk = min(128, n)
+        n_chunks = -(-n // chunk)
+        ids = jnp.arange(n_chunks * chunk, dtype=jnp.int32) % n
+
+        def score_chunk(item_chunk):                            # (C,)
+            neigh = E[self.adj_ent[item_chunk]]                 # (C, S, D)
+            rels = params["relation_embedding"][self.adj_rel[item_chunk]]
+            self_vec = E[item_chunk]                            # (C, D)
+            # attention logits: one (B, D) @ (D, C*S) MXU matmul
+            p = jax.nn.softmax(
+                jnp.einsum("bd,csd->bcs", u_e, rels,
+                           preferred_element_type=jnp.float32), -1)
+            agg = jnp.einsum("bcs,csd->bcd", p, neigh,
+                             preferred_element_type=jnp.float32)
+            if self.aggregator == "sum":
+                x = self_vec[None] + agg
+            elif self.aggregator == "neighbor":
+                x = agg
+            else:  # concat
+                x = jnp.concatenate(
+                    [jnp.broadcast_to(self_vec[None], agg.shape), agg], -1)
+            x = jnp.tanh(jnp.einsum("bcd,do->bco", x, W,
+                                    preferred_element_type=jnp.float32) + b)
+            return jnp.einsum("bd,bcd->bc", u_e, x,
+                              preferred_element_type=jnp.float32)
+
+        scores = jax.lax.map(score_chunk, ids.reshape(n_chunks, chunk))
+        return scores.transpose(1, 0, 2).reshape(B, -1)[:, :n]

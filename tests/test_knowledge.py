@@ -126,3 +126,33 @@ def test_kgat_dense_path_matches_full_ell(synth_dataset_dir, tmp_path):
     np.testing.assert_allclose(a_ui[np.asarray(m_dense._ui_rows),
                                     np.asarray(m_dense._ui_cols)],
                                att[np.asarray(m_dense._ui_sel)], rtol=1e-5)
+
+
+@pytest.mark.parametrize("aggregator", ["sum", "neighbor", "concat"])
+def test_kgcn_dense_full_sort_matches_pair_path(synth_dataset_dir, tmp_path,
+                                                aggregator):
+    """KGCN's dense single-hop full_sort_predict (per-chunk gathers shared
+    across the user batch) must equal the chunked per-pair scoring path."""
+    import jax
+    import jax.numpy as jnp
+    from recbole_tpu.data.utils import create_dataset, data_preparation
+    from recbole_tpu.models import get_model
+
+    cfg = Config("KGCN", "synth", config_dict={
+        "data_path": synth_dataset_dir, "state": "ERROR",
+        "aggregator": aggregator,
+        "checkpoint_dir": str(tmp_path / "saved"),
+        "log_dir": str(tmp_path / "log")}, _parse_cmd_line=False)
+    ds = create_dataset(cfg)
+    train, _, _ = data_preparation(cfg, ds)
+    m = get_model("KGCN")(cfg, train.dataset)
+    assert not m.full_sort_fallback
+    params = m.init_params(jax.random.key(0, impl="rbg"))
+    users = jnp.arange(8) % m.n_users
+    batch = {cfg["USER_ID_FIELD"]: users}
+    dense = m.full_sort_predict(params, batch)
+    cand = jnp.broadcast_to(jnp.arange(m.n_items, dtype=jnp.int32)[None, :],
+                            (8, m.n_items))
+    pairs = m.score_items(params, batch, cand)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(pairs),
+                               rtol=2e-4, atol=1e-5)
