@@ -59,28 +59,45 @@ SHAPES = {
 }
 
 
+_COLUMN_CACHE = {}
+
+
+def _synth_columns(shape, seed=42):
+    """Raw column synthesis, cached — 2-4M-row RNG costs ~30s, identical
+    across the models benchmarked on one dataset."""
+    key = (id(shape), seed)
+    if key not in _COLUMN_CACHE:
+        rng = np.random.RandomState(seed)
+        n = shape["n"]
+        cols = {"label": (rng.random(n) < 0.25).astype(np.float32)}
+        for j in range(shape["n_float"]):
+            cols[f"I{j + 1}"] = rng.random(n).astype(np.float32)
+        for j, vocab in enumerate(shape["vocabs"]):
+            # power-law token frequencies via inverse-CDF; 1..vocab-1 (0=PAD)
+            r = rng.random(n)
+            cols[f"C{j + 1}"] = (
+                1 + np.floor((vocab - 2) * r ** 3.0)).astype(np.int32)
+        _COLUMN_CACHE[key] = cols
+    return _COLUMN_CACHE[key]
+
+
 def synth_ctr_dataset(config, shape, seed=42):
     """Build the post-remap columnar Dataset directly (same trick as
     bench.py's synth ml-1m — no atomic-file round trip at 2-4M rows)."""
     from recbole_tpu.data.dataset import Dataset
     from recbole_tpu.utils.enums import FeatureType, FeatureSource
 
-    rng = np.random.RandomState(seed)
-    n = shape["n"]
+    cols = _synth_columns(shape, seed)
     ds = Dataset(config, _build=False)
-    ds.inter_feat = {"label": (rng.random(n) < 0.25).astype(np.float32)}
+    ds.inter_feat = dict(cols)
     ds.field2type = {"label": FeatureType.FLOAT}
     ds.field2source = {"label": FeatureSource.INTERACTION}
     for j in range(shape["n_float"]):
         f = f"I{j + 1}"
-        ds.inter_feat[f] = rng.random(n).astype(np.float32)
         ds.field2type[f] = FeatureType.FLOAT
         ds.field2source[f] = FeatureSource.INTERACTION
     for j, vocab in enumerate(shape["vocabs"]):
         f = f"C{j + 1}"
-        # power-law token frequencies via inverse-CDF; ids 1..vocab-1 (0=PAD)
-        r = rng.random(n)
-        ds.inter_feat[f] = (1 + np.floor((vocab - 2) * r ** 3.0)).astype(np.int32)
         ds.field2type[f] = FeatureType.TOKEN
         ds.field2source[f] = FeatureSource.INTERACTION
         # lightweight vocab stand-in: len() drives num(); values unused here
