@@ -71,9 +71,24 @@ def _yaml_load(fh):
     """yaml.safe_load with a float resolver accepting '1e-3'-style
     scientific notation (parity: the reference's custom FullLoader resolver,
     configurator.py:90-104 — PyYAML 1.1 otherwise parses those as strings)."""
-    import re
-    loader = yaml.SafeLoader
-    if not getattr(loader, "_recbole_float_resolver", False):
+    return yaml.load(fh, Loader=_yaml_loader_cls())
+
+
+_YAML_LOADER = None
+
+
+def _yaml_loader_cls():
+    """A SafeLoader SUBCLASS carrying the resolver — mutating
+    yaml.SafeLoader itself would change yaml.safe_load behavior for every
+    other library in the process."""
+    global _YAML_LOADER
+    if _YAML_LOADER is None:
+        import re
+
+        class _RecboleYamlLoader(yaml.SafeLoader):
+            pass
+
+        loader = _RecboleYamlLoader
         loader.add_implicit_resolver(
             "tag:yaml.org,2002:float",
             re.compile(
@@ -84,8 +99,8 @@ def _yaml_load(fh):
                 |[-+]?\.(?:inf|Inf|INF)
                 |\.(?:nan|NaN|NAN))$""", re.X),
             list("-+0123456789."))
-        loader._recbole_float_resolver = True
-    return yaml.load(fh, Loader=loader)
+        _YAML_LOADER = loader
+    return _YAML_LOADER
 
 
 class Config:

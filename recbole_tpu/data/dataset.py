@@ -199,6 +199,8 @@ class Dataset:
         if keep not in ("first", "last"):
             raise ValueError("rm_dup_inter must be 'first', 'last' or None")
         n = self._inter_len()
+        if n == 0:
+            return
         order = np.arange(n)
         if self.time_field in self.inter_feat:
             order = np.argsort(self.inter_feat[self.time_field], kind="stable")

@@ -251,7 +251,8 @@ class RowEvalLoader:
         self.dataset = dataset
         # rows are a handful of scalars, so the dispatch count — not memory —
         # bounds this path; floor the batch well above the top-k default
-        self.batch_size = batch_size or max(config["eval_batch_size"], 65536)
+        self.batch_size = batch_size or max(config["eval_batch_size"] or 4096,
+                                            65536)
         self.fields = {f: np.asarray(v) for f, v in dataset.inter_feat.items()
                        if v.dtype != object}
         self.n = len(dataset)

@@ -73,7 +73,11 @@ class DGCF(GeneralRecommender):
         # per-edge segment ops measured 9.6 s/STEP at ml-1m scale; the dense
         # reformulation below is pure matmul/elementwise
         from ...ops.graph import DENSE_ENTRY_BUDGET
-        self.dense = self.n_users * self.n_items <= DENSE_ENTRY_BUDGET
+        # the dense path holds (n_users, n_items, n_factors) affinity tensors
+        # (plus a few same-shaped temporaries) — budget on that footprint,
+        # not the single-matrix one
+        self.dense = (self.n_users * self.n_items * max(1, self.n_factors)
+                      <= DENSE_ENTRY_BUDGET)
         if self.dense:
             M = np.zeros((self.n_users, self.n_items), np.float32)
             M[mat.row, mat.col] = 1.0

@@ -273,7 +273,10 @@ def transformer_apply(params, x, attn_mask, n_heads, act="gelu",
             v = (dot_c(x, layer["wv"], compute_dtype) + layer["bv"]) \
                 .reshape(B, L, n_heads, hd)
             rate = attn_dropout if rng is not None else 0.0
-            ctx = fused_attention(q, k, v, key_valid, seed + li,
+            # stride layers by 2^20 so (layer, batch-block) seed pairs never
+            # collide: the kernel adds program_id (< #blocks << 2^20) to the
+            # seed, and seed+li would replay layer li+1's stream on block b-1
+            ctx = fused_attention(q, k, v, key_valid, seed + li * (1 << 20),
                                   causal=causal, dropout_rate=rate)
             ctx = ctx.reshape(B, L, D)
         else:

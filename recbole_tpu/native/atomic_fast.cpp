@@ -125,9 +125,11 @@ Handle* atr_open(const char* path, char sep, int n_sel, const int* sel_idx,
     const char* nl = static_cast<const char*>(
         memchr(p, '\n', size_t(eof - p)));
     const char* line_end = nl ? nl : eof;
+    // pandas skip_blank_lines drops only truly empty lines; a line of
+    // separators ("\t\t") still parses as a row of NA cells — match that
     bool blank = true;
     for (const char* q = p; q < line_end; ++q)
-      if (*q != '\r' && *q != ' ' && *q != '\t') { blank = false; break; }
+      if (*q != '\r') { blank = false; break; }
     if (!blank) { starts.push_back(p); ends.push_back(line_end); }
     p = nl ? nl + 1 : eof;
   }

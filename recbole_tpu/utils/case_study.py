@@ -51,14 +51,19 @@ def full_sort_scores(uid_series, model, params, test_data):
         batch = transform(batch, transform.consts)
 
     from ..models.base import AbstractRecommender
-    if (type(model).full_sort_predict
-            is not AbstractRecommender.full_sort_predict
-            and not getattr(model, "full_sort_fallback", False)):
-        scores = model.full_sort_predict(params, batch)
-    else:
-        items = jnp.arange(n_items, dtype=jnp.int32)[None, :]
-        cand = jnp.broadcast_to(items, (len(uids), n_items))
-        scores = model.score_items(params, batch, cand)
+    # bind the params-carried device constants: models whose consts are
+    # updated during training (KGAT rebuilds its dense attention blocks each
+    # epoch in params['_const']) must score with the TRAINED values, not the
+    # construction-time registry fallback
+    with model.bind_consts(model.consts_of(params)):
+        if (type(model).full_sort_predict
+                is not AbstractRecommender.full_sort_predict
+                and not getattr(model, "full_sort_fallback", False)):
+            scores = model.full_sort_predict(params, batch)
+        else:
+            items = jnp.arange(n_items, dtype=jnp.int32)[None, :]
+            cand = jnp.broadcast_to(items, (len(uids), n_items))
+            scores = model.score_items(params, batch, cand)
     scores = jnp.asarray(scores, jnp.float32).at[:, 0].set(NEG_INF)
 
     if getattr(test_data, "mask_history", True) and \

@@ -141,12 +141,22 @@ def bench_model(model, dataset_name, epochs=2):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dataset = "criteo"
-    for a in sys.argv[1:]:
+    models = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--dataset"):
-            dataset = a.split("=", 1)[1]
-    models = args or list(REFERENCE[dataset])
+            if "=" in a:
+                dataset = a.split("=", 1)[1]
+            else:
+                i += 1
+                dataset = argv[i]
+        elif not a.startswith("--"):
+            models.append(a)
+        i += 1
+    models = models or list(REFERENCE[dataset])
     print(f"== {dataset} shape: {SHAPES[dataset]['n']:,} rows, "
           f"{SHAPES[dataset]['n_float']} float + "
           f"{len(SHAPES[dataset]['vocabs'])} token fields, "
