@@ -60,6 +60,7 @@ SHAPES = {
 
 
 _COLUMN_CACHE = {}
+_LOADER_CACHE = {}
 
 
 def _synth_columns(shape, seed=42):
@@ -120,8 +121,12 @@ def bench_model(model, dataset_name, epochs=2):
         "USER_ID_FIELD": None, "ITEM_ID_FIELD": None, "LABEL_FIELD": "label",
         "TIME_FIELD": None,
     }, _parse_cmd_line=False)
-    ds = synth_ctr_dataset(cfg, SHAPES[dataset_name])
-    train, valid, test = data_preparation(cfg, ds)
+    # the data protocol (ungrouped RO_RS split, value metrics) is identical
+    # for every CTR model — split once per dataset, reuse the loader triple
+    if dataset_name not in _LOADER_CACHE:
+        ds = synth_ctr_dataset(cfg, SHAPES[dataset_name])
+        _LOADER_CACHE[dataset_name] = data_preparation(cfg, ds)
+    train, valid, test = _LOADER_CACHE[dataset_name]
     m = get_model(model)(cfg, train.dataset)
     trainer = get_trainer(cfg["MODEL_TYPE"], model)(cfg, m)
     trainer.prepare(train)
