@@ -185,3 +185,36 @@ def test_fused_bf16_eval_matches_f32(synth_dataset_dir, tmp_path):
                             saved=False)
     for k, v in r1["test_result"].items():
         assert abs(v - r2["test_result"][k]) < 0.02, (k, v, r2["test_result"][k])
+
+
+def test_case_study_binds_trained_consts(synth_dataset_dir, tmp_path):
+    """case_study must score with the params-carried device constants —
+    KGAT rebuilds its dense attention blocks in params['_const'] each epoch,
+    and an unbound call would silently use the construction-time values."""
+    import jax.numpy as jnp
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.data.utils import create_dataset, data_preparation
+    from recbole_tpu.models import get_model
+    from recbole_tpu.trainer.trainer import get_trainer
+    from recbole_tpu.utils import case_study
+
+    cfg = Config("KGAT", "synth", config_dict={
+        "data_path": synth_dataset_dir, "state": "ERROR",
+        "checkpoint_dir": str(tmp_path / "saved"),
+        "log_dir": str(tmp_path / "log"),
+        "epochs": 2, "scan_epochs": False}, _parse_cmd_line=False)
+    ds = create_dataset(cfg)
+    train, valid, test = data_preparation(cfg, ds)
+    model = get_model("KGAT")(cfg, train.dataset)
+    trainer = get_trainer(cfg["MODEL_TYPE"], "KGAT")(cfg, model)
+    trainer.fit(train, None, verbose=False, saved=False)
+
+    uids = np.array([1, 2, 3])
+    got = case_study.full_sort_scores(uids, model, trainer.params, test)
+    batch = {cfg["USER_ID_FIELD"]: jnp.asarray(uids)}
+    with model.bind_consts(model.consts_of(trainer.params)):
+        want = np.asarray(model.full_sort_predict(trainer.params, batch))
+    finite = got > case_study.NEG_INF / 2
+    np.testing.assert_allclose(got[finite],
+                               want[finite.nonzero()[0], finite.nonzero()[1]],
+                               rtol=1e-5, atol=1e-6)
