@@ -83,49 +83,25 @@ class RippleNet(KnowledgeRecommender):
         }
 
     def _score_single(self, params, user, item, return_kg=False):
-        """C=1 scoring (training / pointwise predict). The attention logit
-        <R_r h, v> equals <R_r^T v, h>, so the relation transform can route
-        through the single CANDIDATE (B rows x n_relations) instead of the
-        B*H*M memory slots — a ~H*M-fold FLOP cut that removes the dominant
-        train-step cost (profiled: the memory-side transform was half the
-        epoch). Memory-side R h is still built for the kg-reconstruction
-        term, but only for hop 0 (a quarter of the rows)."""
-        E = params["entity_embedding"]
-        R = params["relation_embedding"]
-        v = E[item]                                    # (B, D)
-        h_all = E[self.rip_h[user]]                    # (B, H, M, D)
-        t_all = E[self.rip_t[user]]
-        r_all = jnp.asarray(self.rip_r)[user]          # (B, H, M)
-        onehot = jax.nn.one_hot(r_all, self.n_relations, dtype=jnp.float32)
-        item_e = v
-        o_sum = jnp.zeros_like(v)
-        for hop in range(self.n_hop):
-            # V[b,r,:] = R_r^T v_b — one (B, D) @ (D, R*D) MXU matmul
-            V = jnp.einsum("bi,rij->brj", v, R,
-                           preferred_element_type=jnp.float32)
-            P = jnp.einsum("brj,bmj->bmr", V, h_all[:, hop],
-                           preferred_element_type=jnp.float32)
-            logits = jnp.sum(P * onehot[:, hop], -1)   # (B, M)
-            probs = jax.nn.softmax(logits, -1)
-            probs = probs * self.rip_m[user, hop][:, None]
-            o = jnp.einsum("bm,bmi->bi", probs, t_all[:, hop],
-                           preferred_element_type=jnp.float32)
-            o_sum = o_sum + o
-            v = jnp.dot(v + o, params["transform"],
-                        preferred_element_type=jnp.float32)
-        scores = jnp.sum(item_e * o_sum, -1)
+        """C=1 scoring (training / pointwise predict), routed through the
+        shared memory path: _rel_apply builds R_r h once for every hop, and
+        the same tensor serves the attention logits, the all-hop kge term
+        and the per-hop embedding regularizer (reference ripplenet.py
+        computes kge/reg from exactly these per-hop gathered triples,
+        :220-252)."""
         if return_kg:
-            rh0 = self._rel_apply(params, r_all[:, 0], h_all[:, 0])
-            return scores, (rh0, t_all[:, 0])
-        return scores
+            scores, aux = self._score_candidates(params, user, item[:, None],
+                                                 return_kg=True)
+            return scores[:, 0], aux
+        return self._score_candidates(params, user, item[:, None])[:, 0]
 
     def _score_candidates(self, params, user, cand, return_kg=False):
         """user: (B,), cand: (B, C) -> (B, C) scores. The per-user ripple
         tensors are gathered ONCE per user and shared across all C candidates
         — the memory-critical choice for full-sort evaluation. The relation
         transforms R[r] @ h for ALL hops run as a single relation-vocabulary
-        loop (they are independent of the candidate chain), and hop-0's
-        result doubles as the kg-reconstruction term's R h."""
+        loop (they are independent of the candidate chain), and the result
+        doubles as the kge/reg terms' R h during training."""
         B = user.shape[0]
         v = params["entity_embedding"][cand]                   # (B, C, D)
         h_all = params["entity_embedding"][self.rip_h[user]]   # (B, H, M, D)
@@ -150,7 +126,7 @@ class RippleNet(KnowledgeRecommender):
         item_e = params["entity_embedding"][cand]
         scores = jnp.sum(item_e * o_sum, -1)
         if return_kg:
-            return scores, (rh_all[:, 0], t_all[:, 0])
+            return scores, (rh_all, h_all, t_all, r_all)
         return scores
 
     def _rel_apply(self, params, rels, vecs):
@@ -184,18 +160,48 @@ class RippleNet(KnowledgeRecommender):
         return self._score_candidates(params, batch[self.USER_ID], items)
 
     def calculate_loss(self, params, batch, rng=None):
+        """loss = BCE − kg_weight·Σ_hop mean(σ(hRt))
+                      + reg_weight·(Σ_hop EmbLoss(h,t,r) + EmbLoss(W))
+        (parity: reference ripplenet.py:220-252 — the kge term is the raw
+        sigmoid mean, subtracted; reg is per-hop Frobenius norms of the
+        GATHERED triples divided by batch size, plus the transform)."""
         user, item = batch[self.USER_ID], batch[self.ITEM_ID]
         w = batch.get("_weight")
-        scores, (rh0, t_e0) = self._score_single(
+        scores, (rh_all, h_all, t_all, r_all) = self._score_single(
             params, user, item, return_kg=True)
         loss = bce_loss(scores, batch[self.LABEL], w)
-        # kg reconstruction on hop-0 memories (t * (R h), rh0 reused from
-        # the scoring pass — identical relation transform)
-        rec = jnp.sum(t_e0 * rh0, -1)
-        kg_term = -jnp.mean(jax.nn.log_sigmoid(rec))
-        reg = self.reg_weight * (jnp.sum(params["entity_embedding"] ** 2)
-                                 + jnp.sum(params["relation_embedding"] ** 2))
-        return loss, self.kg_weight * kg_term, reg
+        B = user.shape[0]
+        if w is None:
+            row_w = jnp.ones((B,), jnp.float32)
+        else:
+            row_w = w.astype(jnp.float32)
+        eff_b = jnp.maximum(jnp.sum(row_w), 1.0)
+
+        # kge: per-hop mean of sigmoid(t·(R h)) over (B, M), masked to real rows
+        rec = jnp.sum(t_all * rh_all, -1)                      # (B, H, M)
+        sig = jax.nn.sigmoid(rec) * row_w[:, None, None]
+        kge = jnp.sum(jnp.mean(sig, axis=2).sum(axis=0) / eff_b)
+
+        # reg: sqrt-of-weighted-square-sums == torch.norm over the gathered
+        # rows; the relation matrices' norm uses per-relation row counts
+        # against the (R, D, D) table instead of materializing the gather
+        R = params["relation_embedding"]
+        rel_sq = jnp.sum(R.reshape(self.n_relations, -1) ** 2, -1)   # (R,)
+        reg = jnp.float32(0.0)
+        for hop in range(self.n_hop):
+            h_sq = jnp.sum(h_all[:, hop] ** 2, (1, 2)) @ row_w
+            t_sq = jnp.sum(t_all[:, hop] ** 2, (1, 2)) @ row_w
+            counts = jnp.sum(
+                jax.nn.one_hot(r_all[:, hop], self.n_relations,
+                               dtype=jnp.float32) * row_w[:, None, None],
+                (0, 1))                                              # (R,)
+            r_sq = counts @ rel_sq
+            reg = reg + (jnp.sqrt(jnp.clip(h_sq, 1e-12))
+                         + jnp.sqrt(jnp.clip(t_sq, 1e-12))
+                         + jnp.sqrt(jnp.clip(r_sq, 1e-12))) / eff_b
+        W = params["transform"]
+        reg = reg + jnp.sqrt(jnp.clip(jnp.sum(W ** 2), 1e-12)) / W.shape[0]
+        return loss, -self.kg_weight * kge, self.reg_weight * reg
 
     def predict(self, params, batch):
         return jax.nn.sigmoid(

@@ -64,13 +64,13 @@ def test_ripplenet_single_path_matches_candidates(synth_dataset_dir, tmp_path):
     s2 = m._score_candidates(params, user, item[:, None])[:, 0]
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                rtol=2e-4, atol=1e-5)
-    # kg side-channel identical between the paths too
-    _, (rh0a, t0a) = m._score_single(params, user, item, return_kg=True)
-    _, (rh0b, t0b) = m._score_candidates(params, user, item[:, None],
-                                         return_kg=True)
-    np.testing.assert_allclose(np.asarray(rh0a), np.asarray(rh0b),
-                               rtol=2e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(t0a), np.asarray(t0b),
+    # memory-routed R h matches an explicit per-row dense reconstruction
+    _, (rh_all, h_all, t_all, r_all) = m._score_single(
+        params, user, item, return_kg=True)
+    Rm = np.asarray(params["relation_embedding"])
+    rh_ref = np.einsum("bhmij,bhmj->bhmi",
+                       Rm[np.asarray(r_all)], np.asarray(h_all))
+    np.testing.assert_allclose(np.asarray(rh_all), rh_ref,
                                rtol=2e-4, atol=1e-5)
 
 
@@ -156,3 +156,49 @@ def test_kgcn_dense_full_sort_matches_pair_path(synth_dataset_dir, tmp_path,
     pairs = m.score_items(params, batch, cand)
     np.testing.assert_allclose(np.asarray(dense), np.asarray(pairs),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_ripplenet_loss_formula(synth_dataset_dir, tmp_path):
+    """Pin the loss composition to the reference formula: BCE − kg_weight *
+    Σ_hop mean(σ(hRt)) + reg_weight * (Σ_hop EmbLoss(h,t,r) + EmbLoss(W))
+    (reference ripplenet.py:220-252)."""
+    import jax
+    import jax.numpy as jnp
+    from recbole_tpu.data.utils import create_dataset, data_preparation
+    from recbole_tpu.models import get_model
+
+    cfg = Config("RippleNet", "synth", config_dict={
+        "data_path": synth_dataset_dir, "state": "ERROR",
+        "checkpoint_dir": str(tmp_path / "saved"),
+        "log_dir": str(tmp_path / "log")}, _parse_cmd_line=False)
+    ds = create_dataset(cfg)
+    train, _, _ = data_preparation(cfg, ds)
+    m = get_model("RippleNet")(cfg, train.dataset)
+    params = m.init_params(jax.random.key(0, impl="rbg"))
+    B = 8
+    user = jnp.arange(B) % m.n_users
+    item = (jnp.arange(B) * 5) % m.n_items
+    batch = {m.USER_ID: user, m.ITEM_ID: item,
+             m.LABEL: jnp.ones(B, jnp.float32)}
+    parts = m.calculate_loss(params, batch)
+    _, kg_part, reg_part = [float(p) for p in parts]
+
+    _, (rh, h_all, t_all, r_all) = m._score_single(
+        params, user, item, return_kg=True)
+    rh, h_all, t_all = map(np.asarray, (rh, h_all, t_all))
+    r_all = np.asarray(r_all)
+    Rm = np.asarray(params["relation_embedding"])
+    W = np.asarray(params["transform"])
+    rec = (t_all * rh).sum(-1)
+    kge = sum(float(np.mean(1 / (1 + np.exp(-rec[:, hop]))))
+              for hop in range(m.n_hop))
+    np.testing.assert_allclose(kg_part, -m.kg_weight * kge,
+                               rtol=1e-5, atol=1e-7)
+    reg = 0.0
+    for hop in range(m.n_hop):
+        reg += (np.linalg.norm(h_all[:, hop])
+                + np.linalg.norm(t_all[:, hop])
+                + np.linalg.norm(Rm[r_all[:, hop]])) / B
+    reg += np.linalg.norm(W) / W.shape[0]
+    np.testing.assert_allclose(reg_part, m.reg_weight * reg,
+                               rtol=1e-5, atol=1e-9)
