@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from ..base import GeneralRecommender
 from ..layers import xavier_normal, embedding_init, activation, dropout_apply
+from ..losses import fro_norm
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -67,11 +68,13 @@ class CDAE(GeneralRecommender):
         else:
             per = jnp.sum(jnp.maximum(logits, 0) - logits * x
                           + jnp.log1p(jnp.exp(-jnp.abs(logits))), -1)
-        loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
-        reg = self.reg_1 * (jnp.sum(jnp.abs(params["enc_w"]))
-                            + jnp.sum(jnp.abs(params["dec_w"]))) \
-            + self.reg_2 * (jnp.sum(params["enc_w"] ** 2)
-                            + jnp.sum(params["dec_w"] ** 2))
+        # sum reduction + L1/L2 NORMS of h_user (user embedding) and h_item
+        # (the input projection) — parity: reference cdae.py:97-115
+        loss = jnp.sum(per * w)
+        h_user, h_item = params["user_embedding"], params["enc_w"]
+        reg = self.reg_1 * (jnp.sum(jnp.abs(h_user))
+                            + jnp.sum(jnp.abs(h_item))) \
+            + self.reg_2 * (fro_norm(h_user) + fro_norm(h_item))
         return loss + reg
 
     def predict(self, params, batch):

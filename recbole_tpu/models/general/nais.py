@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from ..base import GeneralRecommender
 from ..layers import normal_init, xavier_uniform
-from ..losses import bce_loss
+from ..losses import bce_loss, fro_norm as _fro
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -108,9 +108,11 @@ class NAIS(GeneralRecommender):
     def calculate_loss(self, params, batch, rng=None):
         logits = self._logits(params, batch[self.USER_ID], batch[self.ITEM_ID])
         loss = bce_loss(logits, batch[self.LABEL], batch.get("_weight"))
-        reg = (self.reg_weights[0] * jnp.sum(params["item_src_embedding"] ** 2)
-               + self.reg_weights[1] * jnp.sum(params["item_dst_embedding"] ** 2)
-               + self.reg_weights[2] * jnp.sum(params["attn_w"] ** 2))
+        # Frobenius NORMS of the full tables + the attention-MLP weight
+        # (parity: reference reg_loss uses weight.norm(2), nais.py:138-152)
+        reg = (self.reg_weights[0] * _fro(params["item_src_embedding"])
+               + self.reg_weights[1] * _fro(params["item_dst_embedding"])
+               + self.reg_weights[2] * _fro(params["attn_w"]))
         return loss + reg
 
     def predict(self, params, batch):

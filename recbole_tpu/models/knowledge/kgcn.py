@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..base import KnowledgeRecommender
 from ..layers import xavier_normal
-from ..losses import bce_loss
+from ..losses import bce_loss, emb_loss
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -125,11 +125,19 @@ class KGCN(KnowledgeRecommender):
         return jnp.sum(params["user_embedding"][user] * i_repr, -1)
 
     def calculate_loss(self, params, batch, rng=None):
-        logits = self._logits(params, batch[self.USER_ID], batch[self.ITEM_ID])
-        loss = bce_loss(logits, batch[self.LABEL], batch.get("_weight"))
-        reg = self.reg_weight * (jnp.sum(params["user_embedding"] ** 2)
-                                 + jnp.sum(params["entity_embedding"] ** 2)
-                                 + jnp.sum(params["relation_embedding"] ** 2))
+        user, item = batch[self.USER_ID], batch[self.ITEM_ID]
+        w = batch.get("_weight")
+        i_repr = self._item_repr(params, user, item)
+        u_e = params["user_embedding"][user]
+        logits = jnp.sum(u_e * i_repr, -1)
+        loss = bce_loss(logits, batch[self.LABEL], w)
+        # EmbLoss over the BATCH representations (parity: reference
+        # kgcn.py:272-289 l2_loss(user_e, pos_item_e, neg_item_e)); padded
+        # scan rows are masked out of the norms via _weight
+        if w is not None:
+            u_e = u_e * w[:, None]
+            i_repr = i_repr * w[:, None]
+        reg = self.reg_weight * emb_loss(u_e, i_repr)
         return loss + reg
 
     def predict(self, params, batch):

@@ -10,7 +10,7 @@ predicted label of the held-out item is pushed toward its true label.
 import jax
 import jax.numpy as jnp
 
-from ..losses import bce_loss
+from ..losses import bce_loss, emb_loss
 from .. import register_model
 from .kgcn import KGCN
 
@@ -49,12 +49,17 @@ class KGNNLS(KGCN):
         user, item = batch[self.USER_ID], batch[self.ITEM_ID]
         label = batch[self.LABEL]
         w = batch.get("_weight")
-        logits = self._logits(params, user, item)
+        i_repr = self._item_repr(params, user, item)
+        u_e = params["user_embedding"][user]
+        logits = jnp.sum(u_e * i_repr, -1)
         loss = bce_loss(logits, label, w)
         ls = self._label_smoothness(params, user, item, label)
         ls_loss = jnp.mean(ls) if w is None else \
             jnp.sum(ls * w) / jnp.maximum(jnp.sum(w), 1.0)
-        reg = self.reg_weight * (jnp.sum(params["user_embedding"] ** 2)
-                                 + jnp.sum(params["entity_embedding"] ** 2)
-                                 + jnp.sum(params["relation_embedding"] ** 2))
+        # EmbLoss over the BATCH representations (parity: reference
+        # kgnnls.py:404-419 l2_loss(user_e, item_e))
+        if w is not None:
+            u_e = u_e * w[:, None]
+            i_repr = i_repr * w[:, None]
+        reg = self.reg_weight * emb_loss(u_e, i_repr)
         return loss + self.ls_weight * ls_loss + reg

@@ -71,12 +71,16 @@ class MKR(KnowledgeRecommender):
             v, e = v_out, e_out
         return v, e
 
-    def _rs_forward(self, params, user, item):
+    def _rs_reprs(self, params, user, item):
         u = mlp_apply(params["user_mlp"],
                       params["user_embedding"][user], act="sigmoid")
         v = params["item_embedding"][item]
         e = params["entity_embedding"][item]
         v, _ = self._cross_compress(params, v, e)
+        return u, v
+
+    def _rs_forward(self, params, user, item):
+        u, v = self._rs_reprs(params, user, item)
         if self.use_inner:
             return jnp.sum(u * v, -1)
         return mlp_apply(params["rs_mlp"],
@@ -84,11 +88,23 @@ class MKR(KnowledgeRecommender):
                          final_act=False)[:, 0]
 
     def calculate_rs_loss(self, params, batch, rng=None):
-        logits = self._rs_forward(params, batch[self.USER_ID],
-                                  batch[self.ITEM_ID])
-        loss = bce_loss(logits, batch[self.LABEL], batch.get("_weight"))
-        reg = self.reg_weight * (jnp.sum(params["user_embedding"] ** 2)
-                                 + jnp.sum(params["item_embedding"] ** 2))
+        user, item = batch[self.USER_ID], batch[self.ITEM_ID]
+        w = batch.get("_weight")
+        u, v = self._rs_reprs(params, user, item)
+        if self.use_inner:
+            logits = jnp.sum(u * v, -1)
+        else:
+            logits = mlp_apply(params["rs_mlp"],
+                               jnp.concatenate([u, v], -1), act="sigmoid",
+                               final_act=False)[:, 0]
+        loss = bce_loss(logits, batch[self.LABEL], w)
+        # sum-of-squares/2 of the BATCH representations (parity: reference
+        # mkr.py:123-145 _l2_loss over forward's user/item embeddings);
+        # padded scan rows are masked out via _weight
+        if w is not None:
+            u = u * w[:, None]
+            v = v * w[:, None]
+        reg = self.reg_weight * (jnp.sum(u ** 2) + jnp.sum(v ** 2)) / 2.0
         return loss + reg
 
     calculate_loss = calculate_rs_loss
@@ -108,12 +124,16 @@ class MKR(KnowledgeRecommender):
                          final_act=False)
         w = batch.get("_weight")
         score = jax.nn.sigmoid(jnp.sum(pred * t_e, -1))
-        per = -jnp.log(score + 1e-8)
-        loss = jnp.mean(per) if w is None else \
-            jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
-        reg = self.reg_weight * (jnp.sum(params["entity_embedding"] ** 2)
-                                 + jnp.sum(params["relation_embedding"] ** 2))
-        return loss + reg
+        # parity: reference mkr.py:149-170 — loss_kge = Σ_rows(−σ(score)) +
+        # B·reg·(Σ h_e²/2 + Σ t_e²/2) over the BATCH head/tail reps (the
+        # scalar l2 broadcasts over the row vector before .sum())
+        if w is None:
+            w = jnp.ones_like(score)
+        eff_b = jnp.sum(w)
+        h_sq = jnp.sum((h_e * w[:, None]) ** 2)
+        t_sq = jnp.sum((t_e * w[:, None]) ** 2)
+        return (jnp.sum(-score * w)
+                + eff_b * self.reg_weight * (h_sq + t_sq) / 2.0)
 
     def predict(self, params, batch):
         return jax.nn.sigmoid(

@@ -47,15 +47,21 @@ def mse_loss(preds, labels, weight=None):
     return _wmean(jnp.square(preds - labels), weight)
 
 
+def fro_norm(t):
+    """Frobenius norm of a whole parameter tensor (the reference's
+    ``weight.norm(2)`` regularizer form)."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(t ** 2), 1e-12))
+
+
 def emb_loss(*embeddings, norm=2):
-    """L2 regularization over looked-up embedding rows, normalized by batch
-    (parity: EmbLoss, loss.py:70)."""
+    """Sum of per-embedding p-norms over looked-up rows, divided by the LAST
+    embedding's batch dim (parity: EmbLoss, loss.py:70-84 — each embedding
+    contributes its own torch.norm, not a pooled root)."""
     total = 0.0
-    batch = None
     for e in embeddings:
-        total = total + jnp.sum(jnp.abs(e) ** norm)
-        batch = e.shape[0] if batch is None else batch
-    return (total ** (1.0 / norm)) / jnp.maximum(batch, 1)
+        total = total + jnp.maximum(
+            jnp.sum(jnp.abs(e) ** norm), 1e-12) ** (1.0 / norm)
+    return total / jnp.maximum(embeddings[-1].shape[0], 1)
 
 
 def reg_loss(params_list, norm=2):
