@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from ..layers import xavier_normal
-from ..losses import bce_loss
+from ..losses import bce_loss, fro_norm
 from .. import register_model
 from .context_base import ContextRecommender
 
@@ -54,7 +54,9 @@ class AFM(ContextRecommender):
     def calculate_loss(self, params, batch, rng=None):
         loss = bce_loss(self._logits(params, batch, rng), batch[self.LABEL],
                         batch.get("_weight"))
-        return loss + self.reg_weight * jnp.sum(params["attn_w"] ** 2)
+        # Frobenius NORM of the attention weight (parity: reference
+        # afm.py:109-113, torch.norm(attlayer.w.weight, p=2))
+        return loss + self.reg_weight * fro_norm(params["attn_w"])
 
     def predict(self, params, batch):
         return jax.nn.sigmoid(self._logits(params, batch))

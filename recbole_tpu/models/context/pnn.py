@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 from ..layers import mlp_init, mlp_apply, xavier_normal
-from ..losses import bce_loss
+from ..losses import bce_loss, reg_loss
 from .. import register_model
 from .context_base import ContextRecommender
 
@@ -69,8 +69,10 @@ class PNN(ContextRecommender):
         loss = bce_loss(self._logits(params, batch, rng), batch[self.LABEL],
                         batch.get("_weight"))
         if self.reg_weight:
-            loss = loss + self.reg_weight * sum(
-                jnp.sum(l["w"] ** 2) for l in params["mlp"])
+            # per-tensor Frobenius norms of the MLP weights (parity:
+            # reference pnn.py:64-75)
+            loss = loss + self.reg_weight * reg_loss(
+                [l["w"] for l in params["mlp"]])
         return loss
 
     def predict(self, params, batch):

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..layers import mlp_init, mlp_apply, xavier_normal
-from ..losses import bce_loss
+from ..losses import bce_loss, fro_norm, reg_loss
 from .. import register_model
 from .context_base import ContextRecommender
 
@@ -100,7 +100,15 @@ class XDeepFM(ContextRecommender):
     def calculate_loss(self, params, batch, rng=None):
         loss = bce_loss(self._logits(params, batch, rng), batch[self.LABEL],
                         batch.get("_weight"))
-        reg = sum(jnp.sum(w ** 2) for w in params["cin"])
+        # parity: reference xdeepfm.py:90-114 — per-tensor Frobenius norms of
+        # the MLP weights, the first-order linear tables (our merged
+        # token/float/seq bias tables stand in for its FMFirstOrderLinear
+        # embeddings), and the CIN conv kernels
+        reg = (reg_loss([l["w"] for l in params["mlp"]])
+               + sum(fro_norm(params[k])
+                     for k in ("token_bias", "float_weight", "seq_bias")
+                     if k in params)
+               + reg_loss(list(params["cin"])))
         return loss + self.reg_weight * reg
 
     def predict(self, params, batch):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..base import GeneralRecommender
 from ..layers import xavier_normal
-from ..losses import bpr_loss, emb_loss
+from ..losses import bpr_loss, emb_loss, mask_rows
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -235,9 +235,9 @@ class DGCF(GeneralRecommender):
         pos_s = jnp.sum(ue[user] * ie[pos], -1)
         neg_s = jnp.sum(ue[user] * ie[neg], -1)
         mf = bpr_loss(pos_s, neg_s, w)
-        reg = emb_loss(params["user_embedding"][user],
-                       params["item_embedding"][pos],
-                       params["item_embedding"][neg])
+        reg = emb_loss(*mask_rows(w, params["user_embedding"][user],
+                                  params["item_embedding"][pos],
+                                  params["item_embedding"][neg]))
         loss = mf + self.reg_weight * reg
         if self.n_factors > 1 and self.cor_weight > 1e-9 and rng is not None:
             ku, ki = jax.random.split(rng)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..base import GeneralRecommender
 from ..layers import xavier_uniform
-from ..losses import bpr_loss
+from ..losses import bpr_loss, emb_loss
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -81,13 +81,17 @@ class LightGCN(GeneralRecommender):
         pos_score = jnp.sum(ue[u] * ie[pos], axis=-1)
         neg_score = jnp.sum(ue[u] * ie[neg], axis=-1)
         mf_loss = bpr_loss(pos_score, neg_score, batch.get("_weight"))
-        # reg on ego (pre-propagation) embeddings (reference behavior)
+        # EmbLoss over ego (pre-propagation) batch embeddings (parity:
+        # reference lightgcn.py:146-155); padded scan rows masked via _weight
         w = batch.get("_weight")
-        w = jnp.ones_like(pos_score) if w is None else w
-        reg = jnp.sum((jnp.sum(params["user_embedding"][u] ** 2, -1)
-                       + jnp.sum(params["item_embedding"][pos] ** 2, -1)
-                       + jnp.sum(params["item_embedding"][neg] ** 2, -1)) * w)
-        reg = reg / (2.0 * jnp.maximum(jnp.sum(w), 1.0))
+        u_e = params["user_embedding"][u]
+        pos_e = params["item_embedding"][pos]
+        neg_e = params["item_embedding"][neg]
+        if w is not None:
+            u_e = u_e * w[:, None]
+            pos_e = pos_e * w[:, None]
+            neg_e = neg_e * w[:, None]
+        reg = emb_loss(u_e, pos_e, neg_e)
         return mf_loss + self.reg_weight * reg
 
     def predict(self, params, batch):

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..base import GeneralRecommender
 from ..layers import mlp_init, xavier_normal, dropout_apply
-from ..losses import emb_loss
+from ..losses import fro_norm
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -132,8 +132,13 @@ class MacridVAE(GeneralRecommender):
         ce = -jnp.sum(jnp.sum(jax.nn.log_softmax(logits, -1) * x, -1) * w) / wn
         loss = ce + anneal * kl
         if self.regs[0] or self.regs[1]:
-            loss = loss + self.regs[0] * emb_loss(
-                params["item_embedding"], params["k_embedding"])
+            # parity: reference macridvae.py:173-188 — reg_1 on the item and
+            # prototype tables' Frobenius norms, reg_2 on the encoder weights
+            loss = (loss
+                    + self.regs[0] * (fro_norm(params["item_embedding"])
+                                      + fro_norm(params["k_embedding"]))
+                    + self.regs[1] * sum(fro_norm(l["w"])
+                                         for l in params["encoder"]))
         return loss
 
     def full_sort_predict(self, params, batch):

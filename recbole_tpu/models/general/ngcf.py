@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..base import GeneralRecommender
 from ..layers import xavier_uniform, dropout_apply
-from ..losses import bpr_loss, emb_loss
+from ..losses import bpr_loss, emb_loss, mask_rows
 from ...utils.enums import InputType
 from .. import register_model
 from .lightgcn import build_norm_adj
@@ -81,8 +81,9 @@ class NGCF(GeneralRecommender):
                        batch[self.NEG_ITEM_ID])
         pos_score = jnp.sum(ue[u] * ie[pos], axis=-1)
         neg_score = jnp.sum(ue[u] * ie[neg], axis=-1)
-        loss = bpr_loss(pos_score, neg_score, batch.get("_weight"))
-        reg = emb_loss(ue[u], ie[pos], ie[neg])
+        w = batch.get("_weight")
+        loss = bpr_loss(pos_score, neg_score, w)
+        reg = emb_loss(*mask_rows(w, ue[u], ie[pos], ie[neg]))
         return loss + self.reg_weight * reg
 
     def predict(self, params, batch):

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..base import GeneralRecommender
 from ..layers import xavier_uniform
-from ..losses import bpr_loss, emb_loss
+from ..losses import bpr_loss, emb_loss, mask_rows
 from ...utils.enums import InputType
 from .. import register_model
 from .lightgcn import build_norm_adj
@@ -59,9 +59,10 @@ class SpectralCF(GeneralRecommender):
         ue, ie = self.propagate(params)
         u, pos, neg = (batch[self.USER_ID], batch[self.ITEM_ID],
                        batch[self.NEG_ITEM_ID])
+        w = batch.get("_weight")
         loss = bpr_loss(jnp.sum(ue[u] * ie[pos], -1),
-                        jnp.sum(ue[u] * ie[neg], -1), batch.get("_weight"))
-        reg = emb_loss(ue[u], ie[pos], ie[neg])
+                        jnp.sum(ue[u] * ie[neg], -1), w)
+        reg = emb_loss(*mask_rows(w, ue[u], ie[pos], ie[neg]))
         return loss + self.reg_weight * reg
 
     def predict(self, params, batch):

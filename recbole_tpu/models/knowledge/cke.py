@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..base import KnowledgeRecommender
 from ..layers import xavier_normal
-from ..losses import bpr_loss, emb_loss
+from ..losses import bpr_loss, emb_loss, mask_rows
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -70,8 +70,10 @@ class CKE(KnowledgeRecommender):
         neg_score = jnp.sum((h_e + r_e - nt_e) ** 2, -1)
         kg_loss = bpr_loss(neg_score, pos_score, w)
 
-        reg_loss = (self.reg_weights[0] * emb_loss(u_e, pos_e, neg_e)
-                    + self.reg_weights[1] * emb_loss(h_e, r_e, pt_e, nt_e))
+        reg_loss = (self.reg_weights[0]
+                    * emb_loss(*mask_rows(w, u_e, pos_e, neg_e))
+                    + self.reg_weights[1]
+                    * emb_loss(*mask_rows(w, h_e, r_e, pt_e, nt_e)))
         return rec_loss, kg_loss, reg_loss
 
     def predict(self, params, batch):

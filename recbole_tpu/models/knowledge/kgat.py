@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..base import KnowledgeRecommender
 from ..layers import xavier_normal, dropout_apply
-from ..losses import bpr_loss, emb_loss
+from ..losses import bpr_loss, emb_loss, mask_rows
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -290,9 +290,10 @@ class KGAT(KnowledgeRecommender):
         ue, ie = self.propagate(params, rng)
         u, pos, neg = (batch[self.USER_ID], batch[self.ITEM_ID],
                        batch[self.NEG_ITEM_ID])
+        w = batch.get("_weight")
         loss = bpr_loss(jnp.sum(ue[u] * ie[pos], -1),
-                        jnp.sum(ue[u] * ie[neg], -1), batch.get("_weight"))
-        reg = emb_loss(ue[u], ie[pos], ie[neg])
+                        jnp.sum(ue[u] * ie[neg], -1), w)
+        reg = emb_loss(*mask_rows(w, ue[u], ie[pos], ie[neg]))
         return loss + self.reg_weight * reg
 
     def calculate_kg_loss(self, params, batch, rng=None):
@@ -307,8 +308,9 @@ class KGAT(KnowledgeRecommender):
         r_e = params["relation_embedding"][r]
         pos_score = jnp.sum((h_e + r_e - pt_e) ** 2, -1)
         neg_score = jnp.sum((h_e + r_e - nt_e) ** 2, -1)
-        loss = bpr_loss(neg_score, pos_score, batch.get("_weight"))
-        reg = emb_loss(h_e, r_e, pt_e, nt_e)
+        w2 = batch.get("_weight")
+        loss = bpr_loss(neg_score, pos_score, w2)
+        reg = emb_loss(*mask_rows(w2, h_e, r_e, pt_e, nt_e))
         return loss + self.reg_weight * reg
 
     def predict(self, params, batch):

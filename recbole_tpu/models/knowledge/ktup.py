@@ -57,10 +57,16 @@ class KTUP(KnowledgeRecommender):
                          (params["pref_embedding"]
                           + params["relation_embedding"]).T / 2.0,
                          preferred_element_type=jnp.float32)
-        if self.use_st_gumbel and rng is not None:
-            g = -jnp.log(-jnp.log(
-                jax.random.uniform(rng, logits.shape, minval=1e-10,
-                                   maxval=1.0) + 1e-10))
+        if self.use_st_gumbel:
+            # straight-through Gumbel softmax (reference ktup.py:98-124);
+            # at eval (rng=None) we drop the noise but keep the hard
+            # argmax output the reference's ST estimator emits
+            if rng is not None:
+                g = -jnp.log(-jnp.log(
+                    jax.random.uniform(rng, logits.shape, minval=1e-10,
+                                       maxval=1.0) + 1e-10))
+            else:
+                g = 0.0
             y = jax.nn.softmax(logits + g, -1)
             hard = jax.nn.one_hot(jnp.argmax(y, -1), logits.shape[-1])
             probs = hard + y - jax.lax.stop_gradient(y)
@@ -76,9 +82,25 @@ class KTUP(KnowledgeRecommender):
 
     @staticmethod
     def _project(e, norm):
-        norm = norm / jnp.maximum(jnp.linalg.norm(norm, axis=-1,
-                                                  keepdims=True), 1e-12)
+        # reference _transH_projection (ktup.py:138-140) uses the RAW norm
+        # vector — no unit normalization
         return e - jnp.sum(e * norm, -1, keepdims=True) * norm
+
+    @staticmethod
+    def _orthogonal(rel, norm, w=None):
+        """Σ rows (n·r)² / ‖r‖² (parity: orthogonalLoss, ktup.py:225-230)."""
+        val = (jnp.sum(norm * rel, -1) ** 2
+               / jnp.maximum(jnp.sum(rel ** 2, -1), 1e-12))
+        if w is not None:
+            val = val * w
+        return jnp.sum(val)
+
+    def _align(self, params, ids, mask):
+        """Masked mean item↔entity distance (parity: alignLoss,
+        ktup.py:232-236, L1_flag-aware)."""
+        d = self._dist(params["item_embedding"][ids]
+                       - params["entity_embedding"][ids])
+        return jnp.sum(d * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     def _rec_score(self, params, user, item, rng):
         u_e = params["user_embedding"][user]
@@ -95,13 +117,16 @@ class KTUP(KnowledgeRecommender):
                               batch[self.ITEM_ID], r1)
         neg = self._rec_score(params, batch[self.USER_ID],
                               batch[self.NEG_ITEM_ID], r2)
-        rec_loss = bpr_loss(pos, neg, batch.get("_weight"))
-        # item-entity alignment (items share entity ids; pull them together)
-        i = batch[self.ITEM_ID]
-        align = jnp.mean(jnp.sum(
-            (params["item_embedding"][i]
-             - params["entity_embedding"][i]) ** 2, -1))
-        return rec_loss, self.align_weight * align
+        w = batch.get("_weight")
+        rec_loss = bpr_loss(pos, neg, w)
+        # orthogonality of the FULL preference tables (reference ktup.py:172)
+        orth = self._orthogonal(params["pref_embedding"], params["pref_norm"])
+        # item-entity alignment over pos AND neg items (reference
+        # ktup.py:173-175); padded scan rows masked via _weight
+        ids = jnp.concatenate([batch[self.ITEM_ID], batch[self.NEG_ITEM_ID]])
+        m = (jnp.ones_like(pos) if w is None else w)
+        align = self._align(params, ids, jnp.concatenate([m, m]))
+        return rec_loss, orth, self.align_weight * align
 
     def calculate_kg_loss(self, params, batch, rng=None):
         h = batch[self.HEAD_ENTITY_ID]
@@ -109,18 +134,32 @@ class KTUP(KnowledgeRecommender):
         pos_t = batch[self.TAIL_ENTITY_ID]
         neg_t = batch[self.NEG_TAIL_ENTITY_ID]
         norm = params["relation_norm"][r]
-        h_e = self._project(params["entity_embedding"][h], norm)
-        pt_e = self._project(params["entity_embedding"][pos_t], norm)
-        nt_e = self._project(params["entity_embedding"][neg_t], norm)
+        h_raw = params["entity_embedding"][h]
+        pt_raw = params["entity_embedding"][pos_t]
+        nt_raw = params["entity_embedding"][neg_t]
         r_e = params["relation_embedding"][r]
+        h_e = self._project(h_raw, norm)
+        pt_e = self._project(pt_raw, norm)
+        nt_e = self._project(nt_raw, norm)
         pos = self._dist(h_e + r_e - pt_e)
         neg = self._dist(h_e + r_e - nt_e)
         hinge = jnp.maximum(pos - neg + self.margin, 0.0)
         w = batch.get("_weight")
         loss = jnp.mean(hinge) if w is None else \
             jnp.sum(hinge * w) / jnp.maximum(jnp.sum(w), 1.0)
-        reg = emb_margin_loss(h_e, r_e, pt_e, nt_e) / jnp.maximum(h.shape[0], 1)
-        return self.kg_weight * loss, self.kg_weight * reg
+        # parity: reference ktup.py:207-219 — orthogonal on the BATCH
+        # relation/norm rows, EmbMarginLoss on the RAW (pre-projection)
+        # lookups, both plain sums inside kg_weight; then item-entity
+        # alignment over batch entities that are items
+        m = jnp.ones_like(hinge) if w is None else w
+        orth = self._orthogonal(r_e, norm, m)
+        mc = m[:, None]
+        reg = emb_margin_loss(h_raw * mc, pt_raw * mc, nt_raw * mc, r_e * mc)
+        ent = jnp.concatenate([h, pos_t, neg_t])
+        ent_m = jnp.concatenate([m, m, m]) * (ent < self.n_items)
+        align = self._align(params, jnp.clip(ent, 0, self.n_items - 1), ent_m)
+        return (self.kg_weight * (loss + orth + reg),
+                self.align_weight * align)
 
     def predict(self, params, batch):
         return self._rec_score(params, batch[self.USER_ID],

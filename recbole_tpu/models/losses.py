@@ -47,6 +47,15 @@ def mse_loss(preds, labels, weight=None):
     return _wmean(jnp.square(preds - labels), weight)
 
 
+def mask_rows(w, *tensors):
+    """Zero padded scan rows (weight 0) out of batch representations before
+    norm-based regularizers. Returns the tensors unchanged (as a tuple) when
+    ``w`` is None."""
+    if w is None:
+        return tensors
+    return tuple(t * w.reshape((-1,) + (1,) * (t.ndim - 1)) for t in tensors)
+
+
 def fro_norm(t):
     """Frobenius norm of a whole parameter tensor (the reference's
     ``weight.norm(2)`` regularizer form)."""
@@ -72,10 +81,11 @@ def reg_loss(params_list, norm=2):
     return total
 
 
-def emb_margin_loss(*embeddings, margin=1.0):
-    """Penalize rows whose squared norm exceeds 1 (parity: EmbMarginLoss, loss.py:87)."""
+def emb_margin_loss(*embeddings, power=2):
+    """Sum over rows of max(Σ|e|^power − 1, 0) — penalizes rows whose
+    power-norm exceeds 1 (parity: EmbMarginLoss, loss.py:85-101)."""
     total = 0.0
     for e in embeddings:
-        sq = jnp.sum(jnp.square(e), axis=-1, keepdims=True)
-        total = total + jnp.sum(jnp.maximum(sq + margin - 1.0, 0.0))
+        sq = jnp.sum(e ** power, axis=-1)
+        total = total + jnp.sum(jnp.maximum(sq - 1.0, 0.0))
     return total

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..base import SequentialRecommender
 from ..layers import embedding_init, xavier_uniform, dropout_apply
+from ..losses import reg_loss
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -85,7 +86,11 @@ class Caser(SequentialRecommender):
 
     def calculate_loss(self, params, batch, rng=None):
         loss = super().calculate_loss(params, batch, rng)
-        reg = self.reg_weight * (jnp.sum(params["conv_v"] ** 2)
-                                 + jnp.sum(params["fc1_w"] ** 2)
-                                 + jnp.sum(params["fc2_w"] ** 2))
+        # Frobenius NORMS of the five tables (parity: reference RegLoss call,
+        # caser.py:160-163). The reference's reg_loss_conv_h (caser.py:132-140)
+        # multiplies a running zero and contributes nothing, so conv_h is
+        # unregularized there too.
+        reg = self.reg_weight * reg_loss([
+            params["user_embedding"], params["item_embedding"],
+            params["conv_v"], params["fc1_w"], params["fc2_w"]])
         return loss + reg

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from ..base import SequentialRecommender
 from ..layers import embedding_init
+from ..losses import fro_norm
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -65,6 +66,18 @@ class FOSSIL(SequentialRecommender):
 
     def calculate_loss(self, params, batch, rng=None):
         loss = super().calculate_loss(params, batch, rng)
-        reg = self.reg_weight * (jnp.sum(params["item_embedding"] ** 2)
-                                 + jnp.sum(params["user_lambda"] ** 2))
+        # Frobenius norms of the BATCH reps (parity: reference fossil.py:89-94,
+        # reg_loss(user_lambda, pos_items_emb, seq_output)); padded scan rows
+        # are masked out via _weight. forward() is recomputed — XLA CSEs the
+        # duplicate against the super() call under jit.
+        w = batch.get("_weight")
+        lam = params["user_lambda"][batch[self.USER_ID]]
+        pos_e = params["item_embedding"][batch[self.POS_ITEM_ID]]
+        seq_out = self.forward(params, batch, rng)
+        if w is not None:
+            lam = lam * w[:, None]
+            pos_e = pos_e * w[:, None]
+            seq_out = seq_out * w[:, None]
+        reg = self.reg_weight * (fro_norm(lam) + fro_norm(pos_e)
+                                 + fro_norm(seq_out))
         return loss + reg

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from ..base import SequentialRecommender
 from ..layers import embedding_init, xavier_uniform
+from ..losses import fro_norm
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -76,10 +77,22 @@ class HGN(SequentialRecommender):
 
     def calculate_loss(self, params, batch, rng=None):
         loss = super().calculate_loss(params, batch, rng)
-        reg1 = self.reg_weight[0] * (jnp.sum(params["w1"] ** 2)
-                                     + jnp.sum(params["w2"] ** 2)
-                                     + jnp.sum(params["w3"] ** 2)
-                                     + jnp.sum(params["w4"] ** 2))
-        reg2 = self.reg_weight[1] * (jnp.sum(params["user_embedding"] ** 2)
-                                     + jnp.sum(params["item_embedding"] ** 2))
+        # parity: reference hgn.py:75-90 — reg_1 on the four gating weights'
+        # Frobenius norms, reg_2 on the BATCH user / pos-item (prediction
+        # table) / sequence-item representations; padded scan rows are
+        # masked out via _weight
+        reg1 = self.reg_weight[0] * (fro_norm(params["w1"])
+                                     + fro_norm(params["w2"])
+                                     + fro_norm(params["w3"])
+                                     + fro_norm(params["w4"]))
+        w = batch.get("_weight")
+        u_e = params["user_embedding"][batch[self.USER_ID]]
+        pos_e = params["item_out_embedding"][batch[self.POS_ITEM_ID]]
+        seq_e = params["item_embedding"][batch[self.ITEM_SEQ]]
+        if w is not None:
+            u_e = u_e * w[:, None]
+            pos_e = pos_e * w[:, None]
+            seq_e = seq_e * w[:, None, None]
+        reg2 = self.reg_weight[1] * (fro_norm(u_e) + fro_norm(pos_e)
+                                     + fro_norm(seq_e))
         return loss + reg1 + reg2

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from ..base import SequentialRecommender
 from ..layers import embedding_init, xavier_uniform, layer_norm
+from ..losses import fro_norm, reg_loss
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -83,7 +84,13 @@ class NextItNet(SequentialRecommender):
 
     def calculate_loss(self, params, batch, rng=None):
         loss = super().calculate_loss(params, batch, rng)
-        reg = self.reg_weight * sum(
-            jnp.sum(b["w1"] ** 2) + jnp.sum(b["w2"] ** 2)
-            for b in params["blocks"])
+        # parity: reference nextitnet.py:95-123 — RegLoss over [item table,
+        # final layer] plus per-tensor norms of every residual-block param
+        # named *weight: the conv kernels AND the LayerNorm gains (torch
+        # names LayerNorm's scale 'weight', so the name filter includes it)
+        reg = self.reg_weight * (
+            reg_loss([params["item_embedding"], params["out_w"]])
+            + sum(fro_norm(b["w1"]) + fro_norm(b["w2"])
+                  + fro_norm(b["ln1_g"]) + fro_norm(b["ln2_g"])
+                  for b in params["blocks"]))
         return loss + reg

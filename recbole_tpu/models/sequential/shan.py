@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from ..base import SequentialRecommender
 from ..layers import embedding_init, xavier_uniform
+from ..losses import fro_norm
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -75,8 +76,17 @@ class SHAN(SequentialRecommender):
 
     def calculate_loss(self, params, batch, rng=None):
         loss = super().calculate_loss(params, batch, rng)
-        u = batch[self.USER_ID]
-        reg = (self.reg_weight[0] * jnp.sum(params["user_embedding"][u] ** 2)
-               + self.reg_weight[1] * (jnp.sum(params["long_w"] ** 2)
-                                       + jnp.sum(params["short_w"] ** 2)))
-        return loss + reg / jnp.maximum(u.shape[0], 1)
+        # parity: reference shan.py:82-90 — reg_1 on the two attention
+        # weights' Frobenius norms, reg_2 on the BATCH user / pos-item
+        # representations (no batch normalization); padded scan rows are
+        # masked out via _weight
+        w = batch.get("_weight")
+        u_e = params["user_embedding"][batch[self.USER_ID]]
+        pos_e = params["item_embedding"][batch[self.POS_ITEM_ID]]
+        if w is not None:
+            u_e = u_e * w[:, None]
+            pos_e = pos_e * w[:, None]
+        reg = (self.reg_weight[0] * (fro_norm(params["long_w"])
+                                     + fro_norm(params["short_w"]))
+               + self.reg_weight[1] * (fro_norm(u_e) + fro_norm(pos_e)))
+        return loss + reg

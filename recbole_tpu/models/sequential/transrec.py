@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..base import SequentialRecommender
 from ..layers import embedding_init
-from ..losses import bpr_loss
+from ..losses import bpr_loss, emb_loss, reg_loss
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -53,7 +53,23 @@ class TransRec(SequentialRecommender):
     def calculate_loss(self, params, batch, rng=None):
         pos = self._score(params, batch, batch[self.POS_ITEM_ID])
         neg = self._score(params, batch, batch[self.NEG_ITEM_ID])
-        return bpr_loss(pos, neg, batch.get("_weight"))
+        w = batch.get("_weight")
+        loss = bpr_loss(pos, neg, w)
+        # parity: reference transrec.py:92-97 — EmbLoss on the DETACHED
+        # pos-item / user / bias lookups (loss-value parity only; torch's
+        # .detach() means no gradient flows) plus RegLoss on T (trains)
+        pos_e = params["item_embedding"][batch[self.POS_ITEM_ID]]
+        u_e = params["user_embedding"][batch[self.USER_ID]]
+        b_e = params["item_bias"][batch[self.POS_ITEM_ID]][:, None]
+        if w is not None:
+            pos_e = pos_e * w[:, None]
+            u_e = u_e * w[:, None]
+            b_e = b_e * w[:, None]
+        reg = (emb_loss(jax.lax.stop_gradient(pos_e))
+               + emb_loss(jax.lax.stop_gradient(u_e))
+               + emb_loss(jax.lax.stop_gradient(b_e))
+               + reg_loss([params["T"]]))
+        return loss + reg
 
     def predict(self, params, batch):
         return self._score(params, batch, batch[self.ITEM_ID])
