@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 from ..base import SequentialRecommender
 from ..layers import embedding_init
-from ..losses import bpr_loss, emb_loss, reg_loss
+from ..losses import bpr_loss, emb_loss
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -48,7 +48,10 @@ class TransRec(SequentialRecommender):
     def _score(self, params, batch, items):
         pred = self._translated(params, batch)
         i_e = params["item_embedding"][items]
-        return params["item_bias"][items] - jnp.sum((pred - i_e) ** 2, -1)
+        # score = bias − √Σ(x−y)² — true L2 distance, not squared
+        # (parity: reference _l2_distance, transrec.py:55-56)
+        return params["item_bias"][items] - jnp.sqrt(
+            jnp.maximum(jnp.sum((pred - i_e) ** 2, -1), 1e-12))
 
     def calculate_loss(self, params, batch, rng=None):
         pos = self._score(params, batch, batch[self.POS_ITEM_ID])
@@ -65,10 +68,13 @@ class TransRec(SequentialRecommender):
             pos_e = pos_e * w[:, None]
             u_e = u_e * w[:, None]
             b_e = b_e * w[:, None]
+        # reference reg_loss(self.T) hands RegLoss a bare 1-D tensor, whose
+        # `for W in parameters` loop iterates ELEMENTS — Σ|T_d|, i.e. the L1
+        # norm of T (verified numerically against the reference)
         reg = (emb_loss(jax.lax.stop_gradient(pos_e))
                + emb_loss(jax.lax.stop_gradient(u_e))
                + emb_loss(jax.lax.stop_gradient(b_e))
-               + reg_loss([params["T"]]))
+               + jnp.sum(jnp.abs(params["T"])))
         return loss + reg
 
     def predict(self, params, batch):
@@ -77,8 +83,8 @@ class TransRec(SequentialRecommender):
     def score_items(self, params, batch, items):
         pred = self._translated(params, batch)                  # (B, D)
         i_e = params["item_embedding"][items]                   # (B, C, D)
-        return params["item_bias"][items] \
-            - jnp.sum((pred[:, None, :] - i_e) ** 2, -1)
+        return params["item_bias"][items] - jnp.sqrt(
+            jnp.maximum(jnp.sum((pred[:, None, :] - i_e) ** 2, -1), 1e-12))
 
     def full_sort_predict(self, params, batch):
         pred = self._translated(params, batch)
@@ -86,4 +92,4 @@ class TransRec(SequentialRecommender):
         d = jnp.sum(pred ** 2, -1, keepdims=True) \
             - 2 * jnp.dot(pred, items.T, preferred_element_type=jnp.float32) \
             + jnp.sum(items ** 2, -1)[None, :]
-        return params["item_bias"][None, :] - d
+        return params["item_bias"][None, :] - jnp.sqrt(jnp.maximum(d, 1e-12))
