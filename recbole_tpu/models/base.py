@@ -83,6 +83,19 @@ class AbstractRecommender:
     input_type = InputType.POINTWISE
     default_config: dict = {}
 
+    # param keys whose row 0 is a [PAD] entry the reference declares with
+    # torch's Embedding(padding_idx=0): zeroed at init (zero_pad_rows) and
+    # grad-pinned by the trainer so it never trains
+    pad_zero_params: tuple = ()
+
+    def zero_pad_rows(self, params):
+        """Zero row 0 of every pad_zero_params table (torch zeroes the
+        padding_idx row at construction regardless of the initializer)."""
+        for k in self.pad_zero_params:
+            if k in params:
+                params[k] = params[k].at[0].set(0.0)
+        return params
+
     def __init__(self, config, dataset):
         self.config = config
         self.compute_dtype = jnp.dtype(config["compute_dtype"] or "float32")

@@ -18,6 +18,9 @@ from .. import register_model
 
 @register_model("ENMF")
 class ENMF(GeneralRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("user_embedding", "item_embedding")
     input_type = InputType.LISTWISE
     train_batch_kind = "user"
     default_config = {"embedding_size": 64, "dropout_prob": 0.7,

@@ -17,6 +17,9 @@ from .. import register_model
 
 @register_model("FISM")
 class FISM(GeneralRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_src_embedding", "item_dst_embedding")
     input_type = InputType.POINTWISE
     default_config = {"embedding_size": 64, "split_to": 0,
                       "reg_weights": [1e-2, 1e-2], "alpha": 0}

@@ -88,7 +88,10 @@ def dot_c(x, w, compute_dtype=None):
 def activation(name):
     return {
         "sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh, "relu": jax.nn.relu,
-        "leakyrelu": jax.nn.leaky_relu, "gelu": jax.nn.gelu,
+        "leakyrelu": jax.nn.leaky_relu,
+        # exact erf gelu — the reference's layers.gelu (layers.py:283) is the
+        # erf form, not the tanh approximation jax defaults to
+        "gelu": lambda x: jax.nn.gelu(x, approximate=False),
         "swish": jax.nn.swish, "none": lambda x: x, None: lambda x: x,
     }[name if name is None else name.lower()]
 

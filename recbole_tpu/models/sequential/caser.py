@@ -19,6 +19,9 @@ from .. import register_model
 
 @register_model("Caser")
 class Caser(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding", "user_embedding")
     default_config = {"embedding_size": 64, "dropout_prob": 0.4,
                       "reg_weight": 1e-4, "nv": 8, "nh": 16,
                       "loss_type": "CE", "training_neg_sample_num": 0}
@@ -43,8 +46,10 @@ class Caser(SequentialRecommender):
             "user_embedding": embedding_init(ks[0], self.n_users, D),
             "item_embedding": embedding_init(ks[1], self.n_items, D),
             "conv_v": xavier_uniform(ks[2], (L, self.nv)),
+            "conv_v_b": jnp.zeros(self.nv),
             "conv_h": [xavier_uniform(ks[5 + i], (h, D, self.nh))
                        for i, h in enumerate(self.heights)],
+            "conv_h_b": [jnp.zeros(self.nh) for _ in self.heights],
             "fc1_w": xavier_uniform(ks[3], (fc1_in, D)),
             "fc1_b": jnp.zeros(D),
             "fc2_w": xavier_uniform(ks[4], (2 * D, D)),
@@ -57,18 +62,20 @@ class Caser(SequentialRecommender):
         E = params["item_embedding"][seq]                      # (B, L, D)
         # vertical: weighted sums over the time axis
         out_v = jnp.einsum("bld,lv->bvd", E, params["conv_v"],
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32) \
+            + params["conv_v_b"][None, :, None]                # conv bias
         out_v = out_v.reshape(E.shape[0], -1)                  # (B, nv*D)
         # horizontal: full-width filters of every height, max-pooled over
         # time — real XLA convolutions (an explicit sliding-window stack
         # materializes sum_h (L-h+1)*h*D floats ~ 11.6GB/step at batch 2048
         # and measured SLOWER than the reference's cuDNN path)
         outs_h = []
-        for h, w in zip(self.heights, params["conv_h"]):
+        for h, w, hb in zip(self.heights, params["conv_h"],
+                            params["conv_h_b"]):
             act = jax.nn.relu(jax.lax.conv_general_dilated(
                 E, w, window_strides=(1,), padding="VALID",
                 dimension_numbers=("NWC", "WIO", "NWC"),
-                preferred_element_type=jnp.float32))           # (B, T, nh)
+                preferred_element_type=jnp.float32) + hb)      # (B, T, nh)
             outs_h.append(jnp.max(act, axis=1))                # (B, nh)
         out_h = jnp.concatenate(outs_h, -1)
         x = jnp.concatenate([out_v, out_h], -1)

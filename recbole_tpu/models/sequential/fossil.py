@@ -18,6 +18,9 @@ from .. import register_model
 
 @register_model("FOSSIL")
 class FOSSIL(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"embedding_size": 64, "loss_type": "CE",
                       "reg_weight": 0.0, "order_len": 3, "alpha": 0.6,
                       "training_neg_sample_num": 0}

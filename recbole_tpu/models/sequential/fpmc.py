@@ -16,6 +16,9 @@ from .. import register_model
 
 @register_model("FPMC")
 class FPMC(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("LI",)
     input_type = InputType.PAIRWISE
     default_config = {"embedding_size": 64, "training_neg_sample_num": 1}
 

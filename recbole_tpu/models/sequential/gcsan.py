@@ -20,6 +20,9 @@ from .session_graph import session_graph, gnn_init, gnn_apply
 
 @register_model("GCSAN")
 class GCSAN(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"n_layers": 1, "n_heads": 1, "hidden_size": 64,
                       "inner_size": 256, "hidden_dropout_prob": 0.2,
                       "attn_dropout_prob": 0.2, "hidden_act": "gelu",

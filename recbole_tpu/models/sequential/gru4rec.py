@@ -19,6 +19,9 @@ from .. import register_model
 
 @register_model("GRU4Rec")
 class GRU4Rec(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"embedding_size": 64, "hidden_size": 128, "num_layers": 1,
                       "dropout_prob": 0.3, "loss_type": "CE",
                       "training_neg_sample_num": 0}

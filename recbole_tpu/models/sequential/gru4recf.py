@@ -19,6 +19,9 @@ from .feat_embed import ItemFeatEmbedder
 
 @register_model("GRU4RecF")
 class GRU4RecF(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"embedding_size": 64, "hidden_size": 128,
                       "num_layers": 1, "dropout_prob": 0.3,
                       "selected_features": None, "pooling_mode": "sum",

@@ -21,6 +21,9 @@ from .. import register_model
 
 @register_model("GRU4RecKG")
 class GRU4RecKG(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding", "entity_embedding")
     default_config = {"embedding_size": 64, "hidden_size": 128,
                       "num_layers": 1, "dropout_prob": 0.1,
                       "freeze_kg": True, "loss_type": "CE",

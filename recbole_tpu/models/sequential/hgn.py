@@ -18,6 +18,9 @@ from .. import register_model
 
 @register_model("HGN")
 class HGN(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     item_embedding_key = "item_out_embedding"
     default_config = {"embedding_size": 64, "loss_type": "BPR",
                       "pooling_type": "average", "reg_weight": [0.0, 0.0],
@@ -48,12 +51,13 @@ class HGN(SequentialRecommender):
 
     def forward(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
-        seq_len = batch[self.ITEM_SEQ_LEN]
-        L = seq.shape[1]
         emb = params["item_embedding"][seq]                    # (B, L, D)
         u = params["user_embedding"][batch[self.USER_ID]]      # (B, D)
-        valid = (jnp.arange(L)[None, :] < seq_len[:, None]).astype(jnp.float32)
-        # feature gating
+        # No position masks anywhere — parity with reference hgn.py:99-164,
+        # which relies on the padding_idx=0 item row staying all-zero (our
+        # pad_zero_params pin): padded positions contribute zero VALUES while
+        # their instance-gate scores still enter the average's denominator
+        # and the max's argmax, exactly like the reference.
         fg = jax.nn.sigmoid(
             jnp.einsum("bld,dk->blk", emb, params["w1"],
                        preferred_element_type=jnp.float32)
@@ -65,18 +69,34 @@ class HGN(SequentialRecommender):
                        preferred_element_type=jnp.float32)
             + jnp.einsum("bd,ld->bl", u, params["w4"],
                          preferred_element_type=jnp.float32))
-        inst = gated * (ig * valid)[:, :, None]
+        inst = gated * ig[:, :, None]
         if self.pooling_type == "max":
-            pooled = jnp.max(jnp.where(valid[:, :, None] > 0, inst, -1e9), 1)
+            idx = jnp.argmax(ig, axis=1)
+            pooled = jnp.take_along_axis(
+                inst, idx[:, None, None].astype(jnp.int32), 1)[:, 0]
         else:
             pooled = jnp.sum(inst, 1) / jnp.maximum(
-                jnp.sum(ig * valid, 1, keepdims=True), 1e-8)
-        # item-item term: sum of raw history embeddings
-        hist_sum = jnp.sum(emb * valid[:, :, None], 1)
+                jnp.sum(ig, 1, keepdims=True), 1e-8)
+        # item-item term: sum of raw history embeddings (pads are zero rows)
+        hist_sum = jnp.sum(emb, 1)
         return u + pooled + hist_sum
 
     def calculate_loss(self, params, batch, rng=None):
-        loss = super().calculate_loss(params, batch, rng)
+        from ..losses import bpr_loss, ce_loss
+        out = self.forward(params, batch, rng)
+        pos = batch[self.POS_ITEM_ID]
+        w = batch.get("_weight")
+        if self.loss_type == "BPR":
+            # reference quirk (hgn.py:175-180): positive scores use the
+            # PREDICTION table, negatives the SEQUENCE table
+            pos_e = params["item_out_embedding"][pos]
+            neg_e = params["item_embedding"][batch[self.NEG_ITEM_ID]]
+            loss = bpr_loss(jnp.sum(out * pos_e, -1),
+                            jnp.sum(out * neg_e, -1), w)
+        else:
+            logits = jnp.dot(out, params["item_out_embedding"].T,
+                             preferred_element_type=jnp.float32)
+            loss = ce_loss(logits, pos, w)
         # parity: reference hgn.py:75-90 — reg_1 on the four gating weights'
         # Frobenius norms, reg_2 on the BATCH user / pos-item (prediction
         # table) / sequence-item representations; padded scan rows are

@@ -16,6 +16,9 @@ from .. import register_model
 
 @register_model("HRM")
 class HRM(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"embedding_size": 64, "high_order": 2, "loss_type": "CE",
                       "dropout_prob": 0.2, "pooling_type_layer_1": "max",
                       "pooling_type_layer_2": "max",

@@ -22,6 +22,9 @@ from .. import register_model
 
 @register_model("KSR")
 class KSR(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding", "entity_embedding")
     default_config = {"embedding_size": 64, "hidden_size": 128,
                       "num_layers": 1, "dropout_prob": 0.1,
                       "loss_type": "CE", "freeze_kg": False, "gamma": 10,

@@ -19,6 +19,9 @@ from .. import register_model
 
 @register_model("NARM")
 class NARM(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"embedding_size": 64, "hidden_size": 128, "n_layers": 1,
                       "dropout_probs": [0.25, 0.5], "loss_type": "CE",
                       "training_neg_sample_num": 0}

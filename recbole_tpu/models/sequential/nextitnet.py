@@ -18,6 +18,9 @@ from .. import register_model
 
 @register_model("NextItNet")
 class NextItNet(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"embedding_size": 64, "kernel_size": 3, "block_num": 5,
                       "dilations": [1, 4], "reg_weight": 1e-5,
                       "loss_type": "CE", "training_neg_sample_num": 0}
@@ -73,14 +76,19 @@ class NextItNet(SequentialRecommender):
         x = params["item_embedding"][seq]
         for blk, dil in zip(params["blocks"], self.dilations):
             h = self._causal_conv(x, blk["w1"], blk["b1"], dil)
-            h = jax.nn.relu(layer_norm(h, blk["ln1_g"], blk["ln1_b"]))
+            h = jax.nn.relu(layer_norm(h, blk["ln1_g"], blk["ln1_b"],
+                                       eps=1e-8))
             h = self._causal_conv(h, blk["w2"], blk["b2"], 2 * dil)
-            h = jax.nn.relu(layer_norm(h, blk["ln2_g"], blk["ln2_b"]))
+            h = jax.nn.relu(layer_norm(h, blk["ln2_g"], blk["ln2_b"],
+                                       eps=1e-8))
             x = x + h
-        last = self.gather_last(x, batch[self.ITEM_SEQ_LEN])
-        return jax.nn.relu(jnp.dot(last, params["out_w"],
-                                   preferred_element_type=jnp.float32)
-                           + params["out_b"])
+        # parity: reference nextitnet.py:87-93 reads the LAST sequence
+        # position (sequences are right-padded; the causal stack carries the
+        # true items through the zero pad rows), and the final projection has
+        # no activation
+        last = x[:, -1, :]
+        return jnp.dot(last, params["out_w"],
+                       preferred_element_type=jnp.float32) + params["out_b"]
 
     def calculate_loss(self, params, batch, rng=None):
         loss = super().calculate_loss(params, batch, rng)

@@ -16,6 +16,9 @@ from .. import register_model
 
 @register_model("NPE")
 class NPE(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     item_embedding_key = "item_out_embedding"
     default_config = {"embedding_size": 64, "loss_type": "CE",
                       "dropout_prob": 0.3, "training_neg_sample_num": 0}

@@ -21,6 +21,9 @@ from .. import register_model
 
 @register_model("RepeatNet")
 class RepeatNet(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     input_type = InputType.POINTWISE
     default_config = {"embedding_size": 64, "hidden_size": 64,
                       "joint_train": False, "dropout_prob": 0.5,

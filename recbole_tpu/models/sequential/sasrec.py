@@ -19,6 +19,9 @@ from .. import register_model
 
 @register_model("SASRec")
 class SASRec(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"n_layers": 2, "n_heads": 2, "hidden_size": 64,
                       "inner_size": 256, "hidden_dropout_prob": 0.5,
                       "attn_dropout_prob": 0.5, "hidden_act": "gelu",

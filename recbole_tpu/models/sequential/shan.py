@@ -17,6 +17,9 @@ from .. import register_model
 
 @register_model("SHAN")
 class SHAN(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"embedding_size": 64, "short_item_length": 2,
                       "loss_type": "CE", "reg_weight": [0.01, 0.0001],
                       "training_neg_sample_num": 0}

@@ -19,6 +19,9 @@ from .session_graph import session_graph, gnn_init, gnn_apply
 
 @register_model("SRGNN")
 class SRGNN(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"embedding_size": 64, "step": 1, "loss_type": "CE",
                       "training_neg_sample_num": 0}
 

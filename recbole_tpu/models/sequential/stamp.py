@@ -17,6 +17,9 @@ from .. import register_model
 
 @register_model("STAMP")
 class STAMP(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("item_embedding",)
     default_config = {"embedding_size": 64, "loss_type": "CE",
                       "training_neg_sample_num": 0}
 

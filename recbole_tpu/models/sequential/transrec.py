@@ -18,6 +18,9 @@ from .. import register_model
 
 @register_model("TransRec")
 class TransRec(SequentialRecommender):
+    # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
+    # tables' row-0 grads to match
+    pad_zero_params = ("user_embedding", "item_embedding", "item_bias")
     input_type = InputType.PAIRWISE
     default_config = {"embedding_size": 64, "training_neg_sample_num": 1}
 

@@ -289,6 +289,12 @@ class Trainer:
             grads = jax.tree.map(
                 lambda g: (jnp.zeros(g.shape, jnp.float32)
                            if g.dtype == jax.dtypes.float0 else g), grads)
+            # torch's Embedding(padding_idx=0) never updates row 0; models
+            # list those tables in pad_zero_params so the [PAD] row stays
+            # exactly zero (and Adam moments stay zero) here too
+            for k in getattr(self.model, "pad_zero_params", ()):
+                if k in grads:
+                    grads[k] = grads[k].at[0].set(0.0)
             updates, opt_state2 = optimizer.update(grads, opt_state, params)
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, rng, loss, parts
@@ -453,7 +459,7 @@ class Trainer:
         if self.params is None:
             self.rng, init_key = jax.random.split(self.rng)
             self.params = self.model.attach_consts(
-                self.model.init_params(init_key))
+                self.model.zero_pad_rows(self.model.init_params(init_key)))
             if self.plan is not None:
                 self.params = self.plan.shard_params(self.params)
             if isinstance(self.params, dict) and "_const" in self.params:
@@ -1173,7 +1179,7 @@ class RecVAETrainer(Trainer):
         if self.params is None:
             self.rng, init_key = jax.random.split(self.rng)
             self.params = self.model.attach_consts(
-                self.model.init_params(init_key))
+                self.model.zero_pad_rows(self.model.init_params(init_key)))
         if self._rv is not None:
             return
         self._rv = {}

@@ -138,3 +138,154 @@ def test_shan_loss_parity(synth_dataset_dir):
         })
     _compare("SHAN", synth_dataset_dir, mapper,
              extra={"training_neg_sample_num": 0})
+
+
+def test_hgn_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        D = np.asarray(params["w1"]).shape[0]
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            "item_embedding_for_prediction.weight":
+                params["item_out_embedding"],
+            # ours folds the reference's w1/w2 Linear biases into the single
+            # shared b parameter; split as (linear biases = 0, b = ours)
+            "w1.weight": np.asarray(params["w1"]).T,
+            "w1.bias": np.zeros(D, np.float32),
+            "w2.weight": np.asarray(params["w2"]).T,
+            "w2.bias": np.zeros(D, np.float32),
+            "b": params["b"],
+            "w3.weight": np.asarray(params["w3"])[None, :],
+            "w4.weight": params["w4"],
+        })
+    _compare("HGN", synth_dataset_dir, mapper,
+             extra={"reg_weight": [0.05, 0.02]})
+
+
+def test_fossil_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "item_embedding.weight": params["item_embedding"],
+            "user_lambda.weight": params["user_lambda"],
+            "lambda_": params["global_lambda"],
+        })
+    _compare("FOSSIL", synth_dataset_dir, mapper,
+             extra={"training_neg_sample_num": 0, "reg_weight": 0.1})
+
+
+def test_caser_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            # torch Conv2d(1, nv, (L, 1)).weight is (nv, 1, L, 1); ours (L, nv)
+            "conv_v.weight": np.asarray(params["conv_v"]).T[:, None, :, None],
+            "conv_v.bias": params["conv_v_b"],
+            "fc1.weight": np.asarray(params["fc1_w"]).T,
+            "fc1.bias": params["fc1_b"],
+            "fc2.weight": np.asarray(params["fc2_w"]).T,
+            "fc2.bias": params["fc2_b"],
+        }
+        # torch Conv2d(1, nh, (h, D)).weight is (nh, 1, h, D); ours (h, D, nh)
+        for i, (w, b) in enumerate(zip(params["conv_h"],
+                                       params["conv_h_b"])):
+            upd[f"conv_h.{i}.weight"] = np.transpose(
+                np.asarray(w), (2, 0, 1))[:, None, :, :]
+            upd[f"conv_h.{i}.bias"] = b
+        _load(ref_m, upd)
+    _compare("Caser", synth_dataset_dir, mapper,
+             extra={"training_neg_sample_num": 0, "dropout_prob": 0.0,
+                    "MAX_ITEM_LIST_LENGTH": 10})
+
+
+def test_nextitnet_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "item_embedding.weight": params["item_embedding"],
+            "final_layer.weight": np.asarray(params["out_w"]).T,
+            "final_layer.bias": params["out_b"],
+        }
+        # torch Conv2d(D, D, (1, K)).weight is (out, in, 1, K); ours (K, in, out)
+        for i, blk in enumerate(params["blocks"]):
+            for ours_w, ours_b, ref_c in (("w1", "b1", "conv1"),
+                                          ("w2", "b2", "conv2")):
+                upd[f"residual_blocks.{i}.{ref_c}.weight"] = np.transpose(
+                    np.asarray(blk[ours_w]), (2, 1, 0))[:, :, None, :]
+                upd[f"residual_blocks.{i}.{ref_c}.bias"] = blk[ours_b]
+            for ours_ln, ref_ln in (("ln1", "ln1"), ("ln2", "ln2")):
+                upd[f"residual_blocks.{i}.{ref_ln}.weight"] = blk[f"{ours_ln}_g"]
+                upd[f"residual_blocks.{i}.{ref_ln}.bias"] = blk[f"{ours_ln}_b"]
+        _load(ref_m, upd)
+    _compare("NextItNet", synth_dataset_dir, mapper,
+             extra={"training_neg_sample_num": 0,
+                    "MAX_ITEM_LIST_LENGTH": 10, "block_num": 2})
+
+
+def test_bpr_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+        })
+    _compare("BPR", synth_dataset_dir, mapper)
+
+
+def test_gru4rec_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        g = params["gru"]
+        upd = {
+            "item_embedding.weight": params["item_embedding"],
+            "dense.weight": np.asarray(params["dense_w"]).T,
+            "dense.bias": params["dense_b"],
+        }
+        # reference nn.GRU(bias=False); ours carries zero biases (same at
+        # init). torch weight_ih_l{k} is (3H, in) with (r, z, n) gates — ours
+        # wi is the transpose with the same ordering
+        for li, layer in enumerate(g):
+            upd[f"gru_layers.weight_ih_l{li}"] = np.asarray(layer["wi"]).T
+            upd[f"gru_layers.weight_hh_l{li}"] = np.asarray(layer["wh"]).T
+        _load(ref_m, upd)
+    _compare("GRU4Rec", synth_dataset_dir, mapper,
+             extra={"training_neg_sample_num": 0, "dropout_prob": 0.0,
+                    "MAX_ITEM_LIST_LENGTH": 10})
+
+
+def test_sasrec_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "item_embedding.weight": params["item_embedding"],
+            "position_embedding.weight": params["position_embedding"],
+            "LayerNorm.weight": params["ln_g"],
+            "LayerNorm.bias": params["ln_b"],
+        }
+        for i, lyr in enumerate(params["encoder"]):
+            p = f"trm_encoder.layer.{i}"
+            upd.update({
+                f"{p}.multi_head_attention.query.weight":
+                    np.asarray(lyr["wq"]).T,
+                f"{p}.multi_head_attention.query.bias": lyr["bq"],
+                f"{p}.multi_head_attention.key.weight":
+                    np.asarray(lyr["wk"]).T,
+                f"{p}.multi_head_attention.key.bias": lyr["bk"],
+                f"{p}.multi_head_attention.value.weight":
+                    np.asarray(lyr["wv"]).T,
+                f"{p}.multi_head_attention.value.bias": lyr["bv"],
+                f"{p}.multi_head_attention.dense.weight":
+                    np.asarray(lyr["wo"]).T,
+                f"{p}.multi_head_attention.dense.bias": lyr["bo"],
+                f"{p}.multi_head_attention.LayerNorm.weight": lyr["ln1_g"],
+                f"{p}.multi_head_attention.LayerNorm.bias": lyr["ln1_b"],
+                f"{p}.feed_forward.dense_1.weight":
+                    np.asarray(lyr["ff1_w"]).T,
+                f"{p}.feed_forward.dense_1.bias": lyr["ff1_b"],
+                f"{p}.feed_forward.dense_2.weight":
+                    np.asarray(lyr["ff2_w"]).T,
+                f"{p}.feed_forward.dense_2.bias": lyr["ff2_b"],
+                f"{p}.feed_forward.LayerNorm.weight": lyr["ln2_g"],
+                f"{p}.feed_forward.LayerNorm.bias": lyr["ln2_b"],
+            })
+        _load(ref_m, upd)
+    _compare("SASRec", synth_dataset_dir, mapper,
+             extra={"training_neg_sample_num": 0, "MAX_ITEM_LIST_LENGTH": 10,
+                    "hidden_dropout_prob": 0.0, "attn_dropout_prob": 0.0,
+                    "n_layers": 2})

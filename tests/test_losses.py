@@ -80,3 +80,30 @@ def test_mask_rows_drops_padding_from_norm_regs(rng):
     # None passes through untouched
     (same,) = mask_rows(None, padded)
     np.testing.assert_array_equal(np.asarray(same), padded)
+
+
+def test_pad_row_stays_zero_through_training(synth_dataset_dir, tmp_path):
+    """torch's Embedding(padding_idx=0) never updates row 0; our trainer
+    pins the grads of pad_zero_params tables so [PAD] rows stay exactly 0
+    through real optimizer steps (GRU4Rec declares item_embedding)."""
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.data.utils import create_dataset, data_preparation
+    from recbole_tpu.models import get_model
+    from recbole_tpu.trainer.trainer import get_trainer
+
+    cfg = Config("GRU4Rec", "synth", config_dict={
+        "data_path": synth_dataset_dir, "state": "ERROR",
+        "checkpoint_dir": str(tmp_path / "saved"),
+        "log_dir": str(tmp_path / "log"),
+        "epochs": 2, "scan_epochs": False, "seed": 7,
+        "MAX_ITEM_LIST_LENGTH": 10,
+        "valid_full_to_uni1000": False}, _parse_cmd_line=False)
+    ds = create_dataset(cfg)
+    train, valid, _ = data_preparation(cfg, ds)
+    model = get_model("GRU4Rec")(cfg, train.dataset)
+    assert "item_embedding" in model.pad_zero_params
+    trainer = get_trainer(cfg["MODEL_TYPE"], "GRU4Rec")(cfg, model)
+    trainer.fit(train, valid, verbose=False, saved=False)
+    table = np.asarray(trainer.params["item_embedding"])
+    assert np.all(table[0] == 0.0), "PAD row drifted during training"
+    assert np.any(table[1:] != 0.0), "non-PAD rows should have trained"
