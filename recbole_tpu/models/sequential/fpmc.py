@@ -42,10 +42,12 @@ class FPMC(SequentialRecommender):
         return jnp.take_along_axis(seq, idx[:, None], 1)[:, 0]
 
     def _score(self, params, batch, items):
+        # roles match the reference (fpmc.py:68-92): the LAST CLICK is
+        # embedded by LI (the padding_idx table), candidates by IU and IL
         u = params["UI"][batch[self.USER_ID]]
-        last = params["IL"][self._last_item(batch)]
+        last = params["LI"][self._last_item(batch)]
         return (jnp.sum(u * params["IU"][items], -1)
-                + jnp.sum(last * params["LI"][items], -1))
+                + jnp.sum(last * params["IL"][items], -1))
 
     def calculate_loss(self, params, batch, rng=None):
         pos = self._score(params, batch, batch[self.POS_ITEM_ID])
@@ -57,7 +59,7 @@ class FPMC(SequentialRecommender):
 
     def full_sort_predict(self, params, batch):
         u = params["UI"][batch[self.USER_ID]]
-        last = params["IL"][self._last_item(batch)]
+        last = params["LI"][self._last_item(batch)]
         return (jnp.dot(u, params["IU"].T, preferred_element_type=jnp.float32)
-                + jnp.dot(last, params["LI"].T,
+                + jnp.dot(last, params["IL"].T,
                           preferred_element_type=jnp.float32))

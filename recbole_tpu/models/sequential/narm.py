@@ -63,8 +63,9 @@ class NARM(SequentialRecommender):
             + jnp.dot(ht, params["a2"])[:, None, :]
         alpha = jnp.einsum("blk,ko->blo", jax.nn.sigmoid(q),
                            params["v"])[:, :, 0] * valid
-        cg = jnp.sum(h * alpha[:, :, None], 1)                 # global
-        c = jnp.concatenate([ht, cg], -1)
+        cl = jnp.sum(h * alpha[:, :, None], 1)                 # local
+        # order matches reference narm.py:91: [c_local, c_global]
+        c = jnp.concatenate([cl, ht], -1)
         if rng is not None and self.dropout_probs[1] > 0:
             rng, dk = jax.random.split(rng)
             c = dropout_apply(dk, c, self.dropout_probs[1])

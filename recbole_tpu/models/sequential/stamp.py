@@ -41,7 +41,9 @@ class STAMP(SequentialRecommender):
             "w0": xavier_uniform(ks[4], (D, 1)),
             "ba": jnp.zeros(D),
             "mlp_a": xavier_uniform(ks[5], (D, D)),
+            "mlp_a_b": jnp.zeros(D),
             "mlp_b": xavier_uniform(ks[6], (D, D)),
+            "mlp_b_b": jnp.zeros(D),
         }
 
     def forward(self, params, batch, rng=None):
@@ -60,9 +62,11 @@ class STAMP(SequentialRecommender):
                            params["w0"])[:, :, 0] * valid      # (B, L)
         ma = jnp.sum(emb * alpha[:, :, None], 1) + ms
         hs = jnp.tanh(jnp.dot(ma, params["mlp_a"],
-                              preferred_element_type=jnp.float32))
+                              preferred_element_type=jnp.float32)
+                      + params["mlp_a_b"])
         ht = jnp.tanh(jnp.dot(last, params["mlp_b"],
-                              preferred_element_type=jnp.float32))
+                              preferred_element_type=jnp.float32)
+                      + params["mlp_b_b"])
         return hs * ht
 
     def calculate_loss(self, params, batch, rng=None):

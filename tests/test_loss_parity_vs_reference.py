@@ -62,7 +62,15 @@ def _our_pipeline(model, data_path, extra=None):
     return config, ds, m, params
 
 
+KG_COLS = {"inter": ["user_id", "item_id", "rating", "timestamp"],
+           "kg": ["head_id", "relation_id", "tail_id"],
+           "link": ["item_id", "entity_id"]}
+
+
 def _first_ref_batch(train_loader):
+    if hasattr(train_loader, "set_mode"):
+        from recbole.utils import KGDataLoaderState
+        train_loader.set_mode(KGDataLoaderState.RSKG)
     inter = next(iter(train_loader))
     return {k: v.numpy() for k, v in inter.interaction.items()}, inter
 
@@ -289,3 +297,78 @@ def test_sasrec_loss_parity(synth_dataset_dir):
              extra={"training_neg_sample_num": 0, "MAX_ITEM_LIST_LENGTH": 10,
                     "hidden_dropout_prob": 0.0, "attn_dropout_prob": 0.0,
                     "n_layers": 2})
+
+
+def test_narm_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        g = params["gru"][0]
+        _load(ref_m, {
+            "item_embedding.weight": params["item_embedding"],
+            "gru.weight_ih_l0": np.asarray(g["wi"]).T,
+            "gru.weight_hh_l0": np.asarray(g["wh"]).T,
+            "a_1.weight": np.asarray(params["a1"]).T,
+            "a_2.weight": np.asarray(params["a2"]).T,
+            "v_t.weight": np.asarray(params["v"]).T,
+            "b.weight": np.asarray(params["b"]).T,
+        })
+    _compare("NARM", synth_dataset_dir, mapper,
+             extra={"training_neg_sample_num": 0, "MAX_ITEM_LIST_LENGTH": 10,
+                    "dropout_probs": [0.0, 0.0]})
+
+
+def test_stamp_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "item_embedding.weight": params["item_embedding"],
+            "w1.weight": np.asarray(params["w1"]).T,
+            "w2.weight": np.asarray(params["w2"]).T,
+            "w3.weight": np.asarray(params["w3"]).T,
+            "w0.weight": np.asarray(params["w0"]).T,
+            "b_a": params["ba"],
+            "mlp_a.weight": np.asarray(params["mlp_a"]).T,
+            "mlp_a.bias": params["mlp_a_b"],
+            "mlp_b.weight": np.asarray(params["mlp_b"]).T,
+            "mlp_b.bias": params["mlp_b_b"],
+        })
+    _compare("STAMP", synth_dataset_dir, mapper,
+             extra={"training_neg_sample_num": 0, "MAX_ITEM_LIST_LENGTH": 10})
+
+
+def test_fpmc_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "UI_emb.weight": params["UI"],
+            "IU_emb.weight": params["IU"],
+            "IL_emb.weight": params["IL"],
+            "LI_emb.weight": params["LI"],
+        })
+    _compare("FPMC", synth_dataset_dir, mapper,
+             extra={"MAX_ITEM_LIST_LENGTH": 10})
+
+
+def test_cke_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        R = np.asarray(params["trans_w"]).shape[0]
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            "entity_embedding.weight": params["entity_embedding"],
+            "relation_embedding.weight": params["relation_embedding"],
+            # reference stores the per-relation projection as an Embedding of
+            # flattened (D*K) rows; ours is (R, D, K) with the same e @ W
+            # orientation
+            "trans_w.weight": np.asarray(params["trans_w"]).reshape(R, -1),
+        })
+    _compare("CKE", synth_dataset_dir, mapper,
+             extra={"load_col": KG_COLS})
+
+
+def test_cfkg_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "entity_embedding.weight": params["entity_embedding"],
+            "relation_embedding.weight": params["relation_embedding"],
+        })
+    _compare("CFKG", synth_dataset_dir, mapper,
+             extra={"load_col": KG_COLS})
