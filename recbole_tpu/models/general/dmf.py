@@ -26,14 +26,25 @@ class DMF(GeneralRecommender):
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
-        self.user_hidden = list(config["user_hidden_size_list"])
-        self.item_hidden = list(config["item_hidden_size_list"])
+        # tower dims: [embedding_size] + hidden_size_list — the hidden list
+        # counts LAYERS on top of the linear input projection (reference
+        # dmf.py:77-80)
+        self.user_hidden = ([config["user_embedding_size"]]
+                            + list(config["user_hidden_size_list"]))
+        self.item_hidden = ([config["item_embedding_size"]]
+                            + list(config["item_hidden_size_list"]))
         if self.user_hidden[-1] != self.item_hidden[-1]:
             raise ValueError("tower output dims must match")
         value_field = (config["RATING_FIELD"]
                        if config["inter_matrix_type"] == "rating" else None)
-        mat = dataset.inter_matrix("csr", value_field=value_field)
-        dense = np.asarray(mat.todense(), np.float32)
+        # build by last-wins assignment, NOT csr (which SUMS duplicate
+        # (u, i) rows — the reference's scatter overwrites, dmf.py:104-108)
+        uids = np.asarray(dataset.inter_feat[config["USER_ID_FIELD"]])
+        iids = np.asarray(dataset.inter_feat[config["ITEM_ID_FIELD"]])
+        vals = (np.asarray(dataset.inter_feat[value_field], np.float32)
+                if value_field else np.ones(len(uids), np.float32))
+        dense = np.zeros((self.n_users, self.n_items), np.float32)
+        dense[uids, iids] = vals
         self.max_rating = float(dense.max()) if dense.size else 1.0
         self.R = self.register_const("R", dense)
 
@@ -63,9 +74,9 @@ class DMF(GeneralRecommender):
         return u, i
 
     def _cosine(self, u, i):
-        sim = jnp.sum(u * i, -1) / (
-            jnp.linalg.norm(u, axis=-1) * jnp.linalg.norm(i, axis=-1) + 1e-8)
-        return jnp.maximum(sim, 1e-6)  # reference clips at 1e-6
+        # the fork replaced cosine similarity with sigmoid(dot) (reference
+        # dmf.py:114-117: 'cosine distance is replaced by dot product')
+        return jax.nn.sigmoid(jnp.sum(u * i, -1))
 
     def calculate_loss(self, params, batch, rng=None):
         u, i = self._towers(params, batch[self.USER_ID], batch[self.ITEM_ID])
@@ -96,7 +107,5 @@ class DMF(GeneralRecommender):
             i = jax.nn.relu(jnp.dot(i, layer["w"],
                                     preferred_element_type=jnp.float32)
                             + layer["b"])
-        un = u / (jnp.linalg.norm(u, axis=-1, keepdims=True) + 1e-8)
-        inn = i / (jnp.linalg.norm(i, axis=-1, keepdims=True) + 1e-8)
-        return jnp.maximum(jnp.dot(un, inn.T,
-                                   preferred_element_type=jnp.float32), 1e-6)
+        return jax.nn.sigmoid(jnp.dot(u, i.T,
+                                      preferred_element_type=jnp.float32))

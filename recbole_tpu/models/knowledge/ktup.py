@@ -71,7 +71,10 @@ class KTUP(KnowledgeRecommender):
             hard = jax.nn.one_hot(jnp.argmax(y, -1), logits.shape[-1])
             probs = hard + y - jax.lax.stop_gradient(y)
         else:
-            probs = jax.nn.softmax(logits, -1)
+            # parity: reference _get_preferences (ktup.py:126-135) applies NO
+            # softmax when use_st_gumbel is off — the raw logits mix the
+            # relation/norm tables directly
+            probs = logits
         pref = jnp.dot(probs, (params["pref_embedding"]
                                + params["relation_embedding"]) / 2.0,
                        preferred_element_type=jnp.float32)

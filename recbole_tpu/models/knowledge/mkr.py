@@ -38,7 +38,9 @@ class MKR(KnowledgeRecommender):
         D = self.embedding_size
         params = {
             "user_embedding": xavier_normal(ks[0], (self.n_users, D)),
-            "item_embedding": xavier_normal(ks[1], (self.n_items, D)),
+            # entity-sized: the KG pass looks up HEAD ENTITY ids in the item
+            # table (parity: reference mkr.py:64-83, Embedding(n_entities))
+            "item_embedding": xavier_normal(ks[1], (self.n_entities, D)),
             "entity_embedding": xavier_normal(ks[2], (self.n_entities, D)),
             "relation_embedding": xavier_normal(ks[3], (self.n_relations, D)),
             "user_mlp": mlp_init(ks[4], [D] * (self.L + 1), "xavier_normal"),
@@ -113,15 +115,17 @@ class MKR(KnowledgeRecommender):
         h = batch[self.HEAD_ENTITY_ID]
         r = batch[self.RELATION_ID]
         t = batch[self.TAIL_ENTITY_ID]
-        v = params["item_embedding"][jnp.clip(h, 0, self.n_items - 1)]
+        v = params["item_embedding"][h]
         e = params["entity_embedding"][h]
         _, h_e = self._cross_compress(params, v, e)
         r_e = params["relation_embedding"][r]
         t_e = mlp_apply(params["tail_mlp"],
                         params["entity_embedding"][t], act="sigmoid")
-        pred = mlp_apply(params["kge_mlp"],
-                         jnp.concatenate([h_e, r_e], -1), act="sigmoid",
-                         final_act=False)
+        # tail_pred gets its own sigmoid BEFORE the dot (reference
+        # mkr.py:113-115)
+        pred = jax.nn.sigmoid(mlp_apply(
+            params["kge_mlp"], jnp.concatenate([h_e, r_e], -1),
+            act="sigmoid", final_act=False))
         w = batch.get("_weight")
         score = jax.nn.sigmoid(jnp.sum(pred * t_e, -1))
         # parity: reference mkr.py:149-170 — loss_kge = Σ_rows(−σ(score)) +

@@ -95,18 +95,21 @@ def _load(ref_model, updates):
     ref_model.load_state_dict(sd)
 
 
-def _compare(model, data_path, mapper, extra=None, rtol=2e-4):
+def _compare(model, data_path, mapper, extra=None, rtol=2e-4,
+             methods=("calculate_loss",)):
     _, rds, rtrain, ref_m = _ref_pipeline(model, data_path, extra)
     _, ods, our_m, params = _our_pipeline(model, data_path, extra)
     assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
     batch_np, inter = _first_ref_batch(rtrain)
     mapper(ref_m, params)
-    with torch.no_grad():
-        ref_loss = _scalar(ref_m.calculate_loss(inter))
-    our_loss = _scalar(our_m.calculate_loss(params, _to_jnp(batch_np),
-                                            rng=None))
-    np.testing.assert_allclose(our_loss, ref_loss, rtol=rtol,
-                               err_msg=f"{model} loss mismatch")
+    for method in methods:
+        with torch.no_grad():
+            ref_loss = _scalar(getattr(ref_m, method)(inter))
+        our_loss = _scalar(getattr(our_m, method)(
+            params, _to_jnp(batch_np), rng=None))
+        np.testing.assert_allclose(
+            our_loss, ref_loss, rtol=rtol,
+            err_msg=f"{model}.{method} loss mismatch")
 
 
 def test_lightgcn_loss_parity(synth_dataset_dir):
@@ -372,3 +375,91 @@ def test_cfkg_loss_parity(synth_dataset_dir):
         })
     _compare("CFKG", synth_dataset_dir, mapper,
              extra={"load_col": KG_COLS})
+
+
+def test_ktup_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            "entity_embedding.weight": params["entity_embedding"],
+            "relation_embedding.weight": params["relation_embedding"],
+            "relation_norm_embedding.weight": params["relation_norm"],
+            "pref_embedding.weight": params["pref_embedding"],
+            "pref_norm_embedding.weight": params["pref_norm"],
+        })
+    # gumbel off for determinism: both sides then use the plain softmax mix
+    _compare("KTUP", synth_dataset_dir, mapper,
+             extra={"load_col": KG_COLS, "use_st_gumbel": False},
+             methods=("calculate_loss", "calculate_kg_loss"))
+
+
+def test_mkr_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        cc = params["cc"][0]
+        _load(ref_m, {
+            "user_embeddings_lookup.weight": params["user_embedding"],
+            "item_embeddings_lookup.weight": params["item_embedding"],
+            "entity_embeddings_lookup.weight": params["entity_embedding"],
+            "relation_embeddings_lookup.weight": params["relation_embedding"],
+            "user_mlp.mlp_layers.1.weight":
+                np.asarray(params["user_mlp"][0]["w"]).T,
+            "user_mlp.mlp_layers.1.bias": params["user_mlp"][0]["b"],
+            "tail_mlp.mlp_layers.1.weight":
+                np.asarray(params["tail_mlp"][0]["w"]).T,
+            "tail_mlp.mlp_layers.1.bias": params["tail_mlp"][0]["b"],
+            "kge_pred_mlp.mlp_layers.1.weight":
+                np.asarray(params["kge_mlp"][0]["w"]).T,
+            "kge_pred_mlp.mlp_layers.1.bias": params["kge_mlp"][0]["b"],
+            # reference cross-compress fc_* are Linear(D→1) with SCALAR
+            # biases; ours carries per-dim bias vectors (zero at init)
+            "cc_unit.cc_unit0.fc_vv.weight": np.asarray(cc["vv"]).T,
+            "cc_unit.cc_unit0.fc_vv.bias": np.zeros(1, np.float32),
+            "cc_unit.cc_unit0.fc_ev.weight": np.asarray(cc["ev"]).T,
+            "cc_unit.cc_unit0.fc_ev.bias": np.zeros(1, np.float32),
+            "cc_unit.cc_unit0.fc_ve.weight": np.asarray(cc["ve"]).T,
+            "cc_unit.cc_unit0.fc_ve.bias": np.zeros(1, np.float32),
+            "cc_unit.cc_unit0.fc_ee.weight": np.asarray(cc["ee"]).T,
+            "cc_unit.cc_unit0.fc_ee.bias": np.zeros(1, np.float32),
+        })
+    _compare("MKR", synth_dataset_dir, mapper,
+             extra={"load_col": KG_COLS},
+             methods=("calculate_rs_loss", "calculate_kg_loss"))
+
+
+def test_neumf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "user_mf_embedding.weight": params["mf_user_embedding"],
+            "item_mf_embedding.weight": params["mf_item_embedding"],
+            "user_mlp_embedding.weight": params["mlp_user_embedding"],
+            "item_mlp_embedding.weight": params["mlp_item_embedding"],
+            "predict_layer.weight": np.asarray(params["out_w"]).T,
+            "predict_layer.bias": params["out_b"],
+        }
+        # MLPLayers interleaves dropout: Linear modules sit at 1, 4, 7, ...
+        for i, lyr in enumerate(params["mlp"]):
+            idx = 1 + 3 * i
+            upd[f"mlp_layers.mlp_layers.{idx}.weight"] = \
+                np.asarray(lyr["w"]).T
+            upd[f"mlp_layers.mlp_layers.{idx}.bias"] = lyr["b"]
+        _load(ref_m, upd)
+    _compare("NeuMF", synth_dataset_dir, mapper,
+             extra={"dropout_prob": 0.0})
+
+
+def test_dmf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "user_linear.weight": np.asarray(params["user_w0"]).T,
+            "item_linear.weight": np.asarray(params["item_w0"]).T,
+        }
+        for tower, ours in (("user_fc_layers", "user_mlp"),
+                            ("item_fc_layers", "item_mlp")):
+            for i, lyr in enumerate(params[ours]):
+                idx = 1 + 3 * i
+                upd[f"{tower}.mlp_layers.{idx}.weight"] = \
+                    np.asarray(lyr["w"]).T
+                upd[f"{tower}.mlp_layers.{idx}.bias"] = lyr["b"]
+        _load(ref_m, upd)
+    _compare("DMF", synth_dataset_dir, mapper)
