@@ -66,7 +66,8 @@ class NGCF(GeneralRecommender):
                                preferred_element_type=jnp.float32) + layer["b1"]
             bi_part = jnp.dot(lx * x, layer["w2"],
                               preferred_element_type=jnp.float32) + layer["b2"]
-            x = jax.nn.leaky_relu(sum_part + bi_part)
+            # negative_slope 0.2 (reference ngcf.py:139) — jax defaults 0.01
+            x = jax.nn.leaky_relu(sum_part + bi_part, negative_slope=0.2)
             if rng is not None and self.message_dropout > 0:
                 rng, dk = jax.random.split(rng)
                 x = dropout_apply(dk, x, self.message_dropout)

@@ -28,8 +28,10 @@ class SpectralCF(GeneralRecommender):
         self.n_layers = config["n_layers"]
         self.reg_weight = config["reg_weight"]
         from ...ops.graph import BipartiteProp
+        # A_hat = I + L = 2I − D⁻¹A (reference spectralcf.py:60-110: ROW
+        # normalization, not symmetric)
         self.prop = BipartiteProp(dataset.inter_matrix("csr"),
-                                  self.n_users, self.n_items)
+                                  self.n_users, self.n_items, norm="rw")
         self.n_nodes = self.n_users + self.n_items
 
     def init_params(self, rng):
@@ -49,7 +51,8 @@ class SpectralCF(GeneralRecommender):
         outs = [x]
         for w in params["filters"]:
             ax = self.prop(params["_const"], x)
-            x = jax.nn.sigmoid(jnp.dot(x + ax, w,
+            # A_hat x = 2x − (D⁻¹A)x
+            x = jax.nn.sigmoid(jnp.dot(2.0 * x - ax, w,
                                        preferred_element_type=jnp.float32))
             outs.append(x)
         final = jnp.concatenate(outs, -1)

@@ -36,28 +36,46 @@ class BipartiteProp:
     """
 
     def __init__(self, inter_matrix, n_users, n_items,
-                 dense_budget=DENSE_ENTRY_BUDGET):
+                 dense_budget=DENSE_ENTRY_BUDGET, norm="sym"):
         coo = inter_matrix.tocoo()
         u = coo.row.astype(np.int32)
         i = coo.col.astype(np.int32)
         du = np.bincount(u, minlength=n_users).astype(np.float32)
         di = np.bincount(i, minlength=n_items).astype(np.float32)
-        w = 1.0 / np.sqrt(np.maximum(du[u], 1.0) * np.maximum(di[i], 1.0))
+        if norm == "sym":
+            # D^-0.5 A D^-0.5: both directions share one weight
+            wu = wi = 1.0 / np.sqrt(np.maximum(du[u], 1.0)
+                                    * np.maximum(di[i], 1.0))
+        elif norm == "rw":
+            # D^-1 A (random walk / row normalization, as in the reference's
+            # SpectralCF laplacian, spectralcf.py:86-110): the user->item
+            # direction divides by the USER degree, item->user by ITEM degree
+            wu = 1.0 / np.maximum(du[u], 1.0)
+            wi = 1.0 / np.maximum(di[i], 1.0)
+        else:
+            raise ValueError(f"unknown norm {norm!r}")
         self.n_users, self.n_items = n_users, n_items
         self.n_nodes = n_users + n_items
         self.dense = n_users * n_items <= dense_budget
         if self.dense:
-            R = np.zeros((n_users, n_items), np.float32)
-            np.add.at(R, (u, i), w)
-            self._consts = {"R": jnp.asarray(R)}
+            Ru = np.zeros((n_users, n_items), np.float32)
+            np.add.at(Ru, (u, i), wu)
+            if norm == "sym":
+                self._consts = {"R": jnp.asarray(Ru)}
+            else:
+                Ri = np.zeros((n_users, n_items), np.float32)
+                np.add.at(Ri, (u, i), wi)
+                self._consts = {"R": jnp.asarray(Ru), "Rt": jnp.asarray(Ri)}
         else:
             src = np.concatenate([u, i + n_users])
             dst = np.concatenate([i + n_users, u])
             self._consts = {
                 "edge_src": jnp.asarray(src),
                 "edge_dst": jnp.asarray(dst),
+                # weight indexed by DESTINATION side: u->i edges land on
+                # items (divide by item degree for rw), i->u on users
                 "edge_w": jnp.asarray(
-                    np.concatenate([w, w]).astype(np.float32)),
+                    np.concatenate([wi, wu]).astype(np.float32)),
             }
 
     def init_consts(self):
@@ -73,7 +91,10 @@ class BipartiteProp:
             R = consts["R"]
             xu, xi = x[:self.n_users], x[self.n_users:]
             nu = jnp.dot(R, xi, preferred_element_type=jnp.float32)
-            ni = jnp.dot(R.T, xu, preferred_element_type=jnp.float32)
+            # rw norm stores a second item-side matrix (columns scaled by
+            # item degree); sym reuses R
+            ni = jnp.dot(consts.get("Rt", R).T, xu,
+                         preferred_element_type=jnp.float32)
             return jnp.concatenate([nu, ni], axis=0)
         msgs = x[consts["edge_src"]] * consts["edge_w"][:, None]
         return jax.ops.segment_sum(msgs, consts["edge_dst"],

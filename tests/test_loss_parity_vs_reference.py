@@ -463,3 +463,56 @@ def test_dmf_loss_parity(synth_dataset_dir):
                 upd[f"{tower}.mlp_layers.{idx}.bias"] = lyr["b"]
         _load(ref_m, upd)
     _compare("DMF", synth_dataset_dir, mapper)
+
+
+def test_fism_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "item_src_embedding.weight": params["item_src_embedding"],
+            "item_dst_embedding.weight": params["item_dst_embedding"],
+            "user_bias": params["user_bias"],
+            "item_bias": params["item_bias"],
+        })
+    _compare("FISM", synth_dataset_dir, mapper)
+
+
+def test_nais_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "item_src_embedding.weight": params["item_src_embedding"],
+            "item_dst_embedding.weight": params["item_dst_embedding"],
+            "bias": params["item_bias"],
+            "mlp_layers.mlp_layers.1.weight": np.asarray(params["attn_w"]).T,
+            "mlp_layers.mlp_layers.1.bias": params["attn_b"],
+            "weight_layer": np.asarray(params["attn_h"])[:, None],
+        })
+    _compare("NAIS", synth_dataset_dir, mapper)
+
+
+def test_ngcf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+        }
+        for i, lyr in enumerate(params["gnn"]):
+            upd[f"GNNlayers.{i}.linear.weight"] = np.asarray(lyr["w1"]).T
+            upd[f"GNNlayers.{i}.linear.bias"] = lyr["b1"]
+            upd[f"GNNlayers.{i}.interActTransform.weight"] = \
+                np.asarray(lyr["w2"]).T
+            upd[f"GNNlayers.{i}.interActTransform.bias"] = lyr["b2"]
+        _load(ref_m, upd)
+    _compare("NGCF", synth_dataset_dir, mapper,
+             extra={"message_dropout": 0.0, "node_dropout": 0.0})
+
+
+def test_spectralcf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+        }
+        for i, f in enumerate(params["filters"]):
+            upd[f"filters.{i}"] = f
+        _load(ref_m, upd)
+    _compare("SpectralCF", synth_dataset_dir, mapper)
