@@ -39,30 +39,48 @@ class LINE(GeneralRecommender):
             params["item_context"] = xavier_normal(ks[3], (self.n_items, D))
         return params
 
-    @staticmethod
-    def _log_sig(x):
-        return -jax.nn.softplus(-x)  # log sigmoid, stable
-
     def calculate_loss(self, params, batch, rng=None):
+        # parity: reference line.py:28-33, 129-163 — NegSamplingLoss is
+        # -mean(SIGMOID(±score)) (not log-sigmoid), and each batch randomly
+        # picks the u-u or i-i context side (random.random() < 0.5); at
+        # eval/no-rng we take the u-u branch deterministically
         u = batch[self.USER_ID]
         pos = batch[self.ITEM_ID]
         neg = batch[self.NEG_ITEM_ID]
         w = batch.get("_weight")
         u_e = params["user_embedding"][u]
         pos_e = params["item_embedding"][pos]
-        neg_e = params["item_embedding"][neg]
-        loss1 = -(self._log_sig(jnp.sum(u_e * pos_e, -1))
-                  + self._log_sig(-jnp.sum(u_e * neg_e, -1)))
-        total = loss1
+        s_pos = jnp.sum(u_e * pos_e, -1)
+
+        def wmean(x):
+            if w is None:
+                return jnp.mean(x)
+            return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+        if rng is not None:
+            rng, kb, ku = jax.random.split(rng, 3)
+            use_uu = jax.random.bernoulli(kb)
+            neg_user = jax.random.randint(ku, u.shape, 1, self.n_users)
+        else:
+            use_uu = jnp.bool_(True)
+            neg_user = u
+        # uu branch: negative edge (u, neg_item); ii branch: (neg_user, pos)
+        s_neg_uu = jnp.sum(u_e * params["item_embedding"][neg], -1)
+        s_neg_ii = jnp.sum(params["user_embedding"][neg_user] * pos_e, -1)
+        s_neg = jnp.where(use_uu, s_neg_uu, s_neg_ii)
+        total = (wmean(-jax.nn.sigmoid(s_pos))
+                 + wmean(-jax.nn.sigmoid(-s_neg)))
         if self.order == 2:
-            pos_c = params["item_context"][pos]
-            neg_c = params["item_context"][neg]
-            loss2 = -(self._log_sig(jnp.sum(u_e * pos_c, -1))
-                      + self._log_sig(-jnp.sum(u_e * neg_c, -1)))
-            total = total + self.second_w * loss2
-        if w is None:
-            return jnp.mean(total)
-        return jnp.sum(total * w) / jnp.maximum(jnp.sum(w), 1.0)
+            pc_uu = jnp.sum(u_e * params["item_context"][pos], -1)
+            nc_uu = jnp.sum(u_e * params["item_context"][neg], -1)
+            pc_ii = jnp.sum(pos_e * params["user_context"][u], -1)
+            nc_ii = jnp.sum(pos_e * params["user_context"][neg_user], -1)
+            pos_con = jnp.where(use_uu, pc_uu, pc_ii)
+            neg_con = jnp.where(use_uu, nc_uu, nc_ii)
+            total = total + self.second_w * (
+                wmean(-jax.nn.sigmoid(pos_con))
+                + wmean(-jax.nn.sigmoid(-neg_con)))
+        return total
 
     def predict(self, params, batch):
         u_e = params["user_embedding"][batch[self.USER_ID]]

@@ -56,19 +56,29 @@ class HRM(SequentialRecommender):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
         L = seq.shape[1]
-        # last `high_order` real positions
-        offs = jnp.arange(self.high_order)
-        idx = jnp.clip(seq_len[:, None] - self.high_order + offs[None, :],
-                       0, L - 1)
-        window = jnp.take_along_axis(seq, idx, 1)
-        valid = (seq_len[:, None] - self.high_order + offs[None, :]) >= 0
-        emb = params["item_embedding"][window]
+        u = params["user_embedding"][batch[self.USER_ID]]
         if rng is not None and self.dropout_prob > 0:
             rng, dk = jax.random.split(rng)
-            emb = dropout_apply(dk, emb, self.dropout_prob)
-        hybrid1 = self._pool(emb, self.pool1, valid)
-        u = params["user_embedding"][batch[self.USER_ID]]
-        stack = jnp.stack([hybrid1, u], axis=1)
+            u = dropout_apply(dk, u, self.dropout_prob)
+        if self.pool1 == "max":
+            # last `high_order` positions of the inversed sequence; short
+            # sequences include the reference's ZERO pad rows in the max
+            # (hrm.py:97-106) — mask to 0, not -inf
+            offs = jnp.arange(self.high_order)
+            idx = jnp.clip(seq_len[:, None] - self.high_order + offs[None, :],
+                           0, L - 1)
+            wvalid = (seq_len[:, None] - self.high_order
+                      + offs[None, :]) >= 0
+            wemb = params["item_embedding"][jnp.take_along_axis(seq, idx, 1)] \
+                * wvalid[..., None]
+            hybrid1 = jnp.max(wemb, axis=1)
+        else:
+            # reference avg (hrm.py:107-113): FULL-sequence sum divided by
+            # min(len, high_order)
+            denom = jnp.minimum(seq_len, self.high_order).astype(jnp.float32)
+            hybrid1 = jnp.sum(params["item_embedding"][seq], 1) \
+                / jnp.maximum(denom, 1.0)[:, None]
+        stack = jnp.stack([u, hybrid1], axis=1)
         if rng is not None and self.dropout_prob > 0:
             rng, dk = jax.random.split(rng)
             stack = dropout_apply(dk, stack, self.dropout_prob)

@@ -1,8 +1,9 @@
 """NPE: neural personalized embedding.
 
 Parity target: reference NPE (recbole/model/sequential_recommender/npe.py)
-— ReLU(user embedding) + ReLU(sum of sequence item embeddings), scored against
-a separate item output embedding, with dropout.
+— dropout(ReLU(user emb)) + dropout(ReLU(sum of sequence item embs)), scored
+against ReLU of the SAME item table (npe.py:84-96; its embedding_seq_item
+parameter is dead weight there and is not replicated).
 """
 
 import jax
@@ -19,9 +20,12 @@ class NPE(SequentialRecommender):
     # torch pins Embedding(padding_idx=0) rows; the trainer zeroes these
     # tables' row-0 grads to match
     pad_zero_params = ("item_embedding",)
-    item_embedding_key = "item_out_embedding"
     default_config = {"embedding_size": 64, "loss_type": "CE",
                       "dropout_prob": 0.3, "training_neg_sample_num": 0}
+
+    def _item_table(self, params):
+        # scoring goes through ReLU of the item table (reference npe.py:84-96)
+        return jax.nn.relu(params["item_embedding"])
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
@@ -32,22 +36,23 @@ class NPE(SequentialRecommender):
                            else InputType.POINTWISE)
 
     def init_params(self, rng):
-        ks = jax.random.split(rng, 3)
+        ks = jax.random.split(rng, 2)
         D = self.embedding_size
         return {
             "user_embedding": embedding_init(ks[0], self.n_users, D),
             "item_embedding": embedding_init(ks[1], self.n_items, D),
-            "item_out_embedding": embedding_init(ks[2], self.n_items, D),
         }
 
     def forward(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
-        valid = (jnp.arange(seq.shape[1])[None, :]
-                 < batch[self.ITEM_SEQ_LEN][:, None]).astype(jnp.float32)
-        s = jnp.sum(params["item_embedding"][seq] * valid[:, :, None], 1)
+        # pads are zero rows (pinned), so the plain sum matches the reference
+        s = jnp.sum(params["item_embedding"][seq], 1)
         u = params["user_embedding"][batch[self.USER_ID]]
-        out = jax.nn.relu(u) + jax.nn.relu(s)
+        u = jax.nn.relu(u)
+        s = jax.nn.relu(s)
         if rng is not None and self.dropout_prob > 0:
-            rng, dk = jax.random.split(rng)
-            out = dropout_apply(dk, out, self.dropout_prob)
-        return out
+            # independent dropout per term (reference npe.py:67-75)
+            rng, ku, ks_ = jax.random.split(rng, 3)
+            u = dropout_apply(ku, u, self.dropout_prob)
+            s = dropout_apply(ks_, s, self.dropout_prob)
+        return u + s

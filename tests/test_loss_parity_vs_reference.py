@@ -516,3 +516,74 @@ def test_spectralcf_loss_parity(synth_dataset_dir):
             upd[f"filters.{i}"] = f
         _load(ref_m, upd)
     _compare("SpectralCF", synth_dataset_dir, mapper)
+
+
+def test_npe_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            # the reference's embedding_seq_item is dead weight; leave its
+            # random init in place
+        })
+    _compare("NPE", synth_dataset_dir, mapper,
+             extra={"training_neg_sample_num": 0, "MAX_ITEM_LIST_LENGTH": 10,
+                    "dropout_prob": 0.0})
+
+
+def test_hrm_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+        })
+    for pool1 in ("average", "max"):
+        _compare("HRM", synth_dataset_dir, mapper,
+                 extra={"training_neg_sample_num": 0,
+                        "MAX_ITEM_LIST_LENGTH": 10, "dropout_prob": 0.0,
+                        "pooling_type_layer_1": pool1})
+
+
+def test_dgcf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+        })
+    # cor_weight 0: the independence term samples randomly on both sides
+    _compare("DGCF", synth_dataset_dir, mapper,
+             extra={"cor_weight": 0.0})
+
+
+def test_line_loss_parity(synth_dataset_dir, monkeypatch):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            "user_context_embedding.weight": params["user_context"],
+            "item_context_embedding.weight": params["item_context"],
+        })
+    # pin the reference's random branch selector to the u-u branch, which is
+    # our deterministic no-rng path
+    import random as _py_random
+    monkeypatch.setattr(_py_random, "random", lambda: 0.3)
+    _compare("LINE", synth_dataset_dir, mapper)
+
+
+def test_convncf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            "predict_layers.mlp_layers.1.weight":
+                np.asarray(params["predict_w"]).T,
+            "predict_layers.mlp_layers.1.bias":
+                np.asarray(params["predict_b"])[None],
+        }
+        for i, lyr in enumerate(params["conv"]):
+            # torch CNNLayers stacks conv+relu pairs: convs at even indices
+            upd[f"cnn_layers.cnn_layers.{2 * i}.weight"] = lyr["w"]
+            upd[f"cnn_layers.cnn_layers.{2 * i}.bias"] = lyr["b"]
+        _load(ref_m, upd)
+    _compare("ConvNCF", synth_dataset_dir, mapper,
+             extra={"dropout_prob": 0.0})
