@@ -33,7 +33,6 @@ class AFM(ContextRecommender):
         params = self.init_context_params(kc)
         params["attn_w"] = xavier_normal(ka, (self.embedding_size,
                                               self.attention_size))
-        params["attn_b"] = jnp.zeros(self.attention_size)
         params["attn_h"] = xavier_normal(kh, (self.attention_size,))
         params["p"] = xavier_normal(kp, (self.embedding_size,))
         return params
@@ -41,13 +40,18 @@ class AFM(ContextRecommender):
     def _logits(self, params, batch, rng=None):
         emb = self.embed_input(params, batch)                  # (B, F, D)
         pairs = emb[:, self.pair_i, :] * emb[:, self.pair_j, :]  # (B, P, D)
-        att = jnp.tanh(jnp.dot(pairs, params["attn_w"],
-                               preferred_element_type=jnp.float32)
-                       + params["attn_b"])
+        # AttLayer: RELU(x @ w), no bias (reference layers.py:200-222)
+        att = jax.nn.relu(jnp.dot(pairs, params["attn_w"],
+                                  preferred_element_type=jnp.float32))
         scores = jax.nn.softmax(
             jnp.dot(att, params["attn_h"],
                     preferred_element_type=jnp.float32), axis=1)  # (B, P)
         pooled = jnp.sum(pairs * scores[:, :, None], axis=1)    # (B, D)
+        if rng is not None and self.dropout_prob > 0:
+            # dropout on the pooled interaction (reference afm.py:94)
+            rng, dk = jax.random.split(rng)
+            from ..layers import dropout_apply
+            pooled = dropout_apply(dk, pooled, self.dropout_prob)
         inter = jnp.dot(pooled, params["p"], preferred_element_type=jnp.float32)
         return self.first_order(params, batch) + inter
 

@@ -39,7 +39,10 @@ class ContextRecommender(AbstractRecommender):
         self.token_fields = []     # (field, vocab, fetch)
         self.float_fields = []     # (field, fetch)
         self.token_seq_fields = []  # (field, vocab, table (n, L), lens)
-        skip = {self.LABEL, config["TIME_FIELD"]}
+        # only LABEL is excluded — the reference treats every other loaded
+        # field (including a raw timestamp) as a feature
+        # (abstract_recommender.py:207-219)
+        skip = {self.LABEL}
         for field, ftype in dataset.field2type.items():
             if field in skip or field not in self._available_fields(dataset):
                 continue

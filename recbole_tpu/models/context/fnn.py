@@ -34,8 +34,9 @@ class FNN(ContextRecommender):
 
     def _logits(self, params, batch, rng=None):
         emb = self.embed_input(params, batch)
+        # TANH activations (reference fnn.py:43)
         h = mlp_apply(params["mlp"], emb.reshape(emb.shape[0], -1),
-                      act="relu", dropout=self.dropout_prob, rng=rng)
+                      act="tanh", dropout=self.dropout_prob, rng=rng)
         return jnp.dot(h, params["out_w"],
                        preferred_element_type=jnp.float32)[:, 0] + params["out_b"][0]
 

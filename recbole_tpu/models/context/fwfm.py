@@ -2,6 +2,13 @@
 
 Parity target: reference FwFM (recbole/model/context_aware_recommender/fwfm.py)
 — FM pairwise interactions with a learned scalar weight per FIELD PAIR.
+
+Deliberate deviation: the reference's fwfm_layer (fwfm.py:101-121) draws a
+FRESH torch.randn pair-weight tensor on every forward call — the weights are
+resampled noise that is never trained (the throwaway nn.Parameter never
+reaches the optimizer). That is not reproducible even across two reference
+runs; we implement the paper's actual formulation (one trained scalar per
+field pair) instead.
 """
 
 import jax

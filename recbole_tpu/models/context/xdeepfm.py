@@ -20,13 +20,19 @@ from .context_base import ContextRecommender
 class XDeepFM(ContextRecommender):
     default_config = {"embedding_size": 10, "mlp_hidden_size": [128, 128, 128],
                       "reg_weight": 5e-4, "dropout_prob": 0.2, "direct": False,
-                      "cin_layer_size": [100, 100, 100]}
+                      "cin_layer_size": [100, 100, 100],
+                      # the reference keeps its CIN conv1ds in a plain python
+                      # list (xdeepfm.py:57-61) — they never reach the
+                      # optimizer and stay FROZEN at init; True opts into
+                      # actually training them
+                      "train_cin_weights": False}
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
         self.mlp_hidden = list(config["mlp_hidden_size"])
         self.reg_weight = config["reg_weight"]
         self.dropout_prob = config["dropout_prob"]
+        self.train_cin = bool(config["train_cin_weights"])
         self.direct = config["direct"]
         self.cin_sizes = list(config["cin_layer_size"])
         if not self.direct:
@@ -38,15 +44,17 @@ class XDeepFM(ContextRecommender):
         ks = jax.random.split(rng, 4 + len(self.cin_sizes))
         params = self.init_context_params(ks[0])
         in_dim = self.num_fields * self.embedding_size
-        params["mlp"] = mlp_init(ks[1], [in_dim] + self.mlp_hidden,
+        # the reference's deep tower puts the final 1-unit projection
+        # INSIDE MLPLayers (xdeepfm.py:68-69), so relu follows it too
+        params["mlp"] = mlp_init(ks[1], [in_dim] + self.mlp_hidden + [1],
                                  "xavier_normal")
-        params["mlp_out_w"] = xavier_normal(ks[2], (self.mlp_hidden[-1], 1))
-        params["cin"] = []
+        cin = []
         prev = self.num_fields
         final_maps = 0
         for li, size in enumerate(self.cin_sizes):
-            params["cin"].append(
-                xavier_normal(ks[3 + li], (self.num_fields * prev, size)))
+            cin.append({
+                "w": xavier_normal(ks[3 + li], (self.num_fields * prev, size)),
+                "b": jnp.zeros(size)})
             if self.direct:
                 final_maps += size
                 prev = size
@@ -54,28 +62,39 @@ class XDeepFM(ContextRecommender):
                 final_maps += size // 2 if li < len(self.cin_sizes) - 1 else size
                 prev = size // 2 if li < len(self.cin_sizes) - 1 else size
         params["cin_out_w"] = xavier_normal(ks[-1], (final_maps, 1))
-        params["out_b"] = jnp.zeros(1)
+        if self.train_cin:
+            params["cin"] = cin
+        else:
+            # frozen under _const: the trainer's masked optimizer never
+            # updates that subtree (reference keeps these out of the
+            # optimizer entirely)
+            params.setdefault("_const", {})["cin"] = cin
         return params
+
+    def _cin_weights(self, params):
+        return params["cin"] if "cin" in params else params["_const"]["cin"]
 
     def _cin(self, params, x0):
         """x0: (B, F, D). Returns (B, sum_maps) pooled CIN features."""
         B, F, D = x0.shape
         x = x0
         outs = []
-        for li, w in enumerate(params["cin"]):
+        cin_ws = self._cin_weights(params)
+        for li, lyr in enumerate(cin_ws):
             # outer product along the field axes: (B, F*Hl, D)
             z = jnp.einsum("bhd,bfd->bhfd", x, x0,
                            preferred_element_type=jnp.float32)
             z = z.reshape(B, -1, D)
             # 1x1 conv over the map axis == matmul on the MXU
-            h = jnp.einsum("bmd,mn->bnd", z, w,
-                           preferred_element_type=jnp.float32)
-            h = jax.nn.relu(h)
+            h = jnp.einsum("bmd,mn->bnd", z, lyr["w"],
+                           preferred_element_type=jnp.float32) \
+                + lyr["b"][None, :, None]
+            # reference CIN activation is IDENTITY (xdeepfm.py:115-150)
             if self.direct:
                 outs.append(h)
                 x = h
             else:
-                if li < len(params["cin"]) - 1:
+                if li < len(cin_ws) - 1:
                     half = h.shape[1] // 2
                     x, keep = h[:, :half], h[:, half:]
                 else:
@@ -91,11 +110,9 @@ class XDeepFM(ContextRecommender):
         linear = self.first_order(params, batch)
         cin = jnp.dot(self._cin(params, emb), params["cin_out_w"],
                       preferred_element_type=jnp.float32)[:, 0]
-        h = mlp_apply(params["mlp"], emb.reshape(B, -1), act="relu",
-                      dropout=self.dropout_prob, rng=rng)
-        deep = jnp.dot(h, params["mlp_out_w"],
-                       preferred_element_type=jnp.float32)[:, 0]
-        return linear + cin + deep + params["out_b"][0]
+        deep = mlp_apply(params["mlp"], emb.reshape(B, -1), act="relu",
+                         dropout=self.dropout_prob, rng=rng)[:, 0]
+        return linear + cin + deep
 
     def calculate_loss(self, params, batch, rng=None):
         loss = bce_loss(self._logits(params, batch, rng), batch[self.LABEL],
@@ -108,7 +125,7 @@ class XDeepFM(ContextRecommender):
                + sum(fro_norm(params[k])
                      for k in ("token_bias", "float_weight", "seq_bias")
                      if k in params)
-               + reg_loss(list(params["cin"])))
+               + reg_loss([lyr["w"] for lyr in self._cin_weights(params)]))
         return loss + self.reg_weight * reg
 
     def predict(self, params, batch):

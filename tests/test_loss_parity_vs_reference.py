@@ -587,3 +587,157 @@ def test_convncf_loss_parity(synth_dataset_dir):
         _load(ref_m, upd)
     _compare("ConvNCF", synth_dataset_dir, mapper,
              extra={"dropout_prob": 0.0})
+
+
+CTR_EXTRA = {"eval_setting": "TO_RS", "threshold": {"rating": 3},
+             "metrics": ["AUC", "LogLoss"], "valid_metric": "AUC",
+             "dropout_prob": 0.0,
+             # the reference's ml-100k CTR protocol normalizes float fields
+             # (ml-100k.yaml:49); without it the raw timestamp saturates both
+             # models and torch's BCELoss −100 log clamp kicks in
+             "normalize_all": True}
+
+
+def _ctr_base_upd(params):
+    return {
+        "token_embedding_table.embedding.weight": params["token_embedding"],
+        "float_embedding_table.weight": params["float_embedding"],
+        "first_order_linear.bias":
+            np.asarray(params["first_order_bias"])[None],
+        "first_order_linear.token_embedding_table.embedding.weight":
+            np.asarray(params["token_bias"])[:, None],
+        "first_order_linear.float_embedding_table.weight":
+            np.asarray(params["float_weight"])[:, None],
+    }
+
+
+def test_fm_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, _ctr_base_upd(params))
+    _compare("FM", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_deepfm_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = _ctr_base_upd(params)
+        for i, lyr in enumerate(params["mlp"]):
+            upd[f"mlp_layers.mlp_layers.{1 + 3 * i}.weight"] = \
+                np.asarray(lyr["w"]).T
+            upd[f"mlp_layers.mlp_layers.{1 + 3 * i}.bias"] = lyr["b"]
+        upd["deep_predict_layer.weight"] = np.asarray(params["deep_out_w"]).T
+        upd["deep_predict_layer.bias"] = params["deep_out_b"]
+        _load(ref_m, upd)
+    _compare("DeepFM", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_afm_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = _ctr_base_upd(params)
+        upd["attlayer.w.weight"] = np.asarray(params["attn_w"]).T
+        upd["attlayer.h"] = params["attn_h"]
+        upd["p"] = params["p"]
+        _load(ref_m, upd)
+    _compare("AFM", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_pnn_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = _ctr_base_upd(params)
+        for i, lyr in enumerate(params["mlp"]):
+            upd[f"mlp_layers.mlp_layers.{1 + 3 * i}.weight"] = \
+                np.asarray(lyr["w"]).T
+            upd[f"mlp_layers.mlp_layers.{1 + 3 * i}.bias"] = lyr["b"]
+        upd["predict_layer.weight"] = np.asarray(params["out_w"]).T
+        upd["predict_layer.bias"] = params["out_b"]
+        _load(ref_m, upd)
+    _compare("PNN", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_xdeepfm_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = _ctr_base_upd(params)
+        for i, lyr in enumerate(params["mlp"]):
+            upd[f"mlp_layers.mlp_layers.{1 + 3 * i}.weight"] = \
+                np.asarray(lyr["w"]).T
+            upd[f"mlp_layers.mlp_layers.{1 + 3 * i}.bias"] = lyr["b"]
+        upd["cin_linear.weight"] = np.asarray(params["cin_out_w"]).T
+        _load(ref_m, upd)
+        # the reference's CIN conv1ds live in a plain python list — they are
+        # NOT in its state_dict (frozen at random init there). Copy THEIRS
+        # into our frozen _const subtree for the comparison.
+        cin = params["_const"]["cin"]
+        for i, conv in enumerate(ref_m.conv1d_list):
+            w = conv.weight.detach().numpy()
+            cin[i]["w"] = jnp.asarray(w[:, :, 0].T)
+            cin[i]["b"] = jnp.asarray(conv.bias.detach().numpy())
+    _compare("xDeepFM", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def _mlp_upd(params, key="mlp", prefix="mlp_layers", step=3):
+    upd = {}
+    for i, lyr in enumerate(params[key]):
+        upd[f"{prefix}.mlp_layers.{1 + step * i}.weight"] = \
+            np.asarray(lyr["w"]).T
+        upd[f"{prefix}.mlp_layers.{1 + step * i}.bias"] = lyr["b"]
+    return upd
+
+
+def test_lr_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, _ctr_base_upd(params))
+    _compare("LR", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_widedeep_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {**_ctr_base_upd(params), **_mlp_upd(params)}
+        upd["deep_predict_layer.weight"] = np.asarray(params["out_w"]).T
+        upd["deep_predict_layer.bias"] = params["out_b"]
+        _load(ref_m, upd)
+    _compare("WideDeep", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_fnn_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {**_ctr_base_upd(params), **_mlp_upd(params)}
+        upd["predict_layer.weight"] = np.asarray(params["out_w"]).T
+        upd["predict_layer.bias"] = params["out_b"]
+        _load(ref_m, upd)
+    _compare("FNN", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_dcn_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        # reference DCN's MLP uses batch norm (identity in eval at init);
+        # linears sit at 1, 5, 9, ... (dropout, linear, bn, activation)
+        upd = {**_ctr_base_upd(params),
+               **_mlp_upd(params, step=4)}
+        for i, (w, b) in enumerate(zip(params["cross_w"],
+                                       params["cross_b"])):
+            upd[f"cross_layer_w.{i}"] = w
+            upd[f"cross_layer_b.{i}"] = b
+        upd["predict_layer.weight"] = np.asarray(params["out_w"]).T
+        upd["predict_layer.bias"] = params["out_b"]
+        _load(ref_m, upd)
+    _compare("DCN", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_nfm_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {**_ctr_base_upd(params),
+               **_mlp_upd(params, step=4)}
+        upd["predict_layer.weight"] = np.asarray(params["out_w"]).T
+        _load(ref_m, upd)
+    _compare("NFM", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_ffm_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = _ctr_base_upd(params)
+        tok = np.asarray(params["ffm_token_embedding"])
+        flt = np.asarray(params["ffm_float_embedding"])
+        for f in range(tok.shape[1]):
+            upd[f"ffm.token_embeddings.{f}.weight"] = tok[:, f, :]
+            upd[f"ffm.float_embeddings.{f}.weight"] = flt[:, f, :]
+        _load(ref_m, upd)
+    _compare("FFM", synth_dataset_dir, mapper, extra=CTR_EXTRA)
