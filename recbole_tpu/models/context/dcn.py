@@ -30,8 +30,9 @@ class DCN(ContextRecommender):
     def init_params(self, rng):
         ks = jax.random.split(rng, 3 + self.cross_layer_num)
         params = self.init_context_params(ks[0])
+        # bn=True matches reference dcn.py:61
         params["mlp"] = mlp_init(ks[1], [self.in_dim] + self.mlp_hidden,
-                                 "xavier_normal")
+                                 "xavier_normal", bn=True)
         params["cross_w"] = [xavier_normal(ks[2 + i], (self.in_dim,))
                              for i in range(self.cross_layer_num)]
         params["cross_b"] = [jnp.zeros(self.in_dim)
@@ -49,7 +50,8 @@ class DCN(ContextRecommender):
             xw = jnp.dot(x, w, preferred_element_type=jnp.float32)
             x = x0 * xw[:, None] + b + x
         deep = mlp_apply(params["mlp"], x0, act="relu",
-                         dropout=self.dropout_prob, rng=rng)
+                         dropout=self.dropout_prob, rng=rng,
+                         bn_w=batch.get("_weight"))
         joint = jnp.concatenate([x, deep], axis=-1)
         return jnp.dot(joint, params["out_w"],
                        preferred_element_type=jnp.float32)[:, 0] + params["out_b"][0]

@@ -8,7 +8,7 @@ an MLP, plus the linear term.
 import jax
 import jax.numpy as jnp
 
-from ..layers import mlp_init, mlp_apply, xavier_normal
+from ..layers import bn_apply, mlp_init, mlp_apply, xavier_normal
 from ..losses import bce_loss
 from .. import register_model
 from .context_base import ContextRecommender
@@ -27,16 +27,22 @@ class NFM(ContextRecommender):
     def init_params(self, rng):
         kc, km, ko = jax.random.split(rng, 3)
         params = self.init_context_params(kc)
+        # bn=True + standalone BN on the FM vector match reference
+        # nfm.py:36-37
         params["mlp"] = mlp_init(km, [self.embedding_size] + self.mlp_hidden,
-                                 "xavier_normal")
+                                 "xavier_normal", bn=True)
+        params["fm_bn_g"] = jnp.ones(self.embedding_size)
+        params["fm_bn_b"] = jnp.zeros(self.embedding_size)
         params["out_w"] = xavier_normal(ko, (self.mlp_hidden[-1], 1))
         return params
 
     def _logits(self, params, batch, rng=None):
         emb = self.embed_input(params, batch)
         bi = 0.5 * (jnp.square(jnp.sum(emb, 1)) - jnp.sum(jnp.square(emb), 1))
+        w = batch.get("_weight")
+        bi = bn_apply(bi, params["fm_bn_g"], params["fm_bn_b"], w=w)
         h = mlp_apply(params["mlp"], bi, act="sigmoid",
-                      dropout=self.dropout_prob, rng=rng)
+                      dropout=self.dropout_prob, rng=rng, bn_w=w)
         deep = jnp.dot(h, params["out_w"],
                        preferred_element_type=jnp.float32)[:, 0]
         return self.first_order(params, batch) + deep

@@ -96,20 +96,47 @@ def activation(name):
     }[name if name is None else name.lower()]
 
 
-def mlp_init(rng, layer_dims, init="xavier_normal", dtype=jnp.float32):
-    """parity: MLPLayers (layers.py:30)."""
+def bn_apply(x, g, b, w=None, eps=1e-5):
+    """Batch normalization over axis 0 using BATCH statistics (torch
+    train-mode semantics / track_running_stats=False). ``w`` masks padded
+    scan rows out of the statistics. The reference's eval mode uses running
+    averages instead; we normalize with the (large) eval batch's own stats —
+    a documented deviation that avoids threading mutable state through the
+    jitted step."""
+    if w is None:
+        mean = jnp.mean(x, 0)
+        var = jnp.var(x, 0)
+    else:
+        wc = w[:, None]
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        mean = jnp.sum(x * wc, 0) / n
+        var = jnp.sum(((x - mean) ** 2) * wc, 0) / n
+    return (x - mean) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def mlp_init(rng, layer_dims, init="xavier_normal", dtype=jnp.float32,
+             bn=False):
+    """parity: MLPLayers (layers.py:30); bn=True adds per-layer batch-norm
+    scale/shift (the reference's bn=True MLPLayers)."""
     params = []
     for i in range(len(layer_dims) - 1):
         rng, wk = jax.random.split(rng)
-        params.append({
+        layer = {
             "w": INITIALIZERS[init](wk, (layer_dims[i], layer_dims[i + 1]), dtype),
             "b": jnp.zeros((layer_dims[i + 1],), dtype),
-        })
+        }
+        if bn:
+            layer["bn_g"] = jnp.ones((layer_dims[i + 1],), dtype)
+            layer["bn_b"] = jnp.zeros((layer_dims[i + 1],), dtype)
+        params.append(layer)
     return params
 
 
 def mlp_apply(params, x, act="relu", dropout=0.0, rng=None, final_act=True,
-              compute_dtype=None):
+              compute_dtype=None, bn_w=None):
+    """Reference MLPLayers order per layer: dropout → linear → [batchnorm] →
+    activation (layers.py:62-78). Layers carrying bn_g/bn_b (mlp_init
+    bn=True) get batch-stat normalization; bn_w masks padded scan rows."""
     fn = activation(act)
     n = len(params)
     for i, layer in enumerate(params):
@@ -117,6 +144,8 @@ def mlp_apply(params, x, act="relu", dropout=0.0, rng=None, final_act=True,
             rng, dk = jax.random.split(rng)
             x = dropout_apply(dk, x, dropout)
         x = dot_c(x, layer["w"], compute_dtype) + layer["b"]
+        if "bn_g" in layer:
+            x = bn_apply(x, layer["bn_g"], layer["bn_b"], w=bn_w)
         if final_act or i < n - 1:
             x = fn(x)
     return x

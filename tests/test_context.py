@@ -9,6 +9,10 @@ CTR_BASE = {
     "epochs": 2, "train_batch_size": 256, "eval_batch_size": 256,
     "state": "ERROR", "scan_epochs": False,
     "threshold": {"rating": 4},
+    # raw float features (timestamp, price) are model inputs now — normalize
+    # like the reference's CTR protocols (ml-100k.yaml:49) or the magnitudes
+    # blow up the towers
+    "normalize_all": True,
     "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"],
                  "user": ["user_id", "age", "gender"],
                  "item": ["item_id", "genre", "price"]},

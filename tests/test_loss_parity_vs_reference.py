@@ -96,12 +96,16 @@ def _load(ref_model, updates):
 
 
 def _compare(model, data_path, mapper, extra=None, rtol=2e-4,
-             methods=("calculate_loss",)):
+             methods=("calculate_loss",), train_mode=False):
     _, rds, rtrain, ref_m = _ref_pipeline(model, data_path, extra)
     _, ods, our_m, params = _our_pipeline(model, data_path, extra)
     assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
     batch_np, inter = _first_ref_batch(rtrain)
     mapper(ref_m, params)
+    if train_mode:
+        # batch-norm models: our BN always uses batch statistics, matching
+        # torch TRAIN mode; dropouts must be zeroed via the config
+        ref_m.train()
     for method in methods:
         with torch.no_grad():
             ref_loss = _scalar(getattr(ref_m, method)(inter))
@@ -706,12 +710,19 @@ def test_fnn_loss_parity(synth_dataset_dir):
     _compare("FNN", synth_dataset_dir, mapper, extra=CTR_EXTRA)
 
 
+def _bn_upd(params, key="mlp", prefix="mlp_layers", step=4):
+    upd = {}
+    for i, lyr in enumerate(params[key]):
+        upd[f"{prefix}.mlp_layers.{2 + step * i}.weight"] = lyr["bn_g"]
+        upd[f"{prefix}.mlp_layers.{2 + step * i}.bias"] = lyr["bn_b"]
+    return upd
+
+
 def test_dcn_loss_parity(synth_dataset_dir):
     def mapper(ref_m, params):
-        # reference DCN's MLP uses batch norm (identity in eval at init);
-        # linears sit at 1, 5, 9, ... (dropout, linear, bn, activation)
+        # dropout, linear (1+4i), batchnorm (2+4i), activation
         upd = {**_ctr_base_upd(params),
-               **_mlp_upd(params, step=4)}
+               **_mlp_upd(params, step=4), **_bn_upd(params)}
         for i, (w, b) in enumerate(zip(params["cross_w"],
                                        params["cross_b"])):
             upd[f"cross_layer_w.{i}"] = w
@@ -719,16 +730,20 @@ def test_dcn_loss_parity(synth_dataset_dir):
         upd["predict_layer.weight"] = np.asarray(params["out_w"]).T
         upd["predict_layer.bias"] = params["out_b"]
         _load(ref_m, upd)
-    _compare("DCN", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+    _compare("DCN", synth_dataset_dir, mapper, extra=CTR_EXTRA,
+             train_mode=True)
 
 
 def test_nfm_loss_parity(synth_dataset_dir):
     def mapper(ref_m, params):
         upd = {**_ctr_base_upd(params),
-               **_mlp_upd(params, step=4)}
+               **_mlp_upd(params, step=4), **_bn_upd(params)}
+        upd["bn.weight"] = params["fm_bn_g"]
+        upd["bn.bias"] = params["fm_bn_b"]
         upd["predict_layer.weight"] = np.asarray(params["out_w"]).T
         _load(ref_m, upd)
-    _compare("NFM", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+    _compare("NFM", synth_dataset_dir, mapper, extra=CTR_EXTRA,
+             train_mode=True)
 
 
 def test_ffm_loss_parity(synth_dataset_dir):
@@ -741,3 +756,41 @@ def test_ffm_loss_parity(synth_dataset_dir):
             upd[f"ffm.float_embeddings.{f}.weight"] = flt[:, f, :]
         _load(ref_m, upd)
     _compare("FFM", synth_dataset_dir, mapper, extra=CTR_EXTRA)
+
+
+def test_autoint_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        A = np.asarray(params["proj_w"]).shape[1]
+        upd = {**_ctr_base_upd(params), **_mlp_upd(params)}
+        upd["att_embedding.weight"] = np.asarray(params["proj_w"]).T
+        upd["att_embedding.bias"] = params["proj_b"]
+        upd["attn_fc.weight"] = np.asarray(params["attn_out_w"]).T
+        upd["attn_fc.bias"] = params["attn_out_b"]
+        upd["deep_predict_layer.weight"] = np.asarray(params["mlp_out_w"]).T
+        upd["deep_predict_layer.bias"] = params["mlp_out_b"]
+        for i, lyr in enumerate(params["attn"]):
+            # torch packs qkv: in_proj_weight rows [Wq; Wk; Wv], each (A, A)
+            upd[f"self_attns.{i}.in_proj_weight"] = np.concatenate([
+                np.asarray(lyr["wq"]).T, np.asarray(lyr["wk"]).T,
+                np.asarray(lyr["wv"]).T])
+            upd[f"self_attns.{i}.in_proj_bias"] = np.concatenate([
+                np.asarray(lyr["bq"]), np.asarray(lyr["bk"]),
+                np.asarray(lyr["bv"])])
+            upd[f"self_attns.{i}.out_proj.weight"] = np.asarray(lyr["wo"]).T
+            upd[f"self_attns.{i}.out_proj.bias"] = lyr["bo"]
+        _load(ref_m, upd)
+    _compare("AutoInt", synth_dataset_dir, mapper,
+             extra={**CTR_EXTRA, "dropout_probs": [0.0, 0.0, 0.0]})
+
+
+def test_dssm_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = _ctr_base_upd(params)
+        del upd["float_embedding_table.weight"]  # DSSM drops float fields
+        for tower, ours in (("user_mlp_layers", "user_mlp"),
+                            ("item_mlp_layers", "item_mlp")):
+            upd.update(_mlp_upd(params, key=ours, prefix=tower, step=4))
+            upd.update(_bn_upd(params, key=ours, prefix=tower, step=4))
+        _load(ref_m, upd)
+    _compare("DSSM", synth_dataset_dir, mapper, extra=CTR_EXTRA,
+             train_mode=True)
