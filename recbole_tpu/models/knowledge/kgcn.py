@@ -95,10 +95,13 @@ class KGCN(KnowledgeRecommender):
                 neigh = vectors[hop + 1].reshape(B, M, self.S, D)
                 rels = params["relation_embedding"][
                     relations[hop].reshape(B, M, self.S)]
+                # user-relation score is the MEAN over dims (÷D) and the
+                # aggregation a MEAN over neighbors (÷S) — reference
+                # mix_neighbor_vectors, kgcn.py:173-190
                 scores = jax.nn.softmax(
                     jnp.einsum("bd,bmsd->bms", u_e, rels,
-                               preferred_element_type=jnp.float32), -1)
-                agg_n = jnp.sum(scores[..., None] * neigh, 2)  # (B, M, D)
+                               preferred_element_type=jnp.float32) / D, -1)
+                agg_n = jnp.mean(scores[..., None] * neigh, 2)  # (B, M, D)
                 if self.aggregator == "sum":
                     x = vectors[hop] + agg_n
                 elif self.aggregator == "neighbor":
@@ -167,11 +170,13 @@ class KGCN(KnowledgeRecommender):
             rels = params["relation_embedding"][self.adj_rel[item_chunk]]
             self_vec = E[item_chunk]                            # (C, D)
             # attention logits: one (B, D) @ (D, C*S) MXU matmul
+            # same ÷D score mean and ÷S neighbor mean as _item_repr
             p = jax.nn.softmax(
                 jnp.einsum("bd,csd->bcs", u_e, rels,
-                           preferred_element_type=jnp.float32), -1)
+                           preferred_element_type=jnp.float32)
+                / self.embedding_size, -1)
             agg = jnp.einsum("bcs,csd->bcd", p, neigh,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32) / self.S
             if self.aggregator == "sum":
                 x = self_vec[None] + agg
             elif self.aggregator == "neighbor":

@@ -88,11 +88,17 @@ class BERT4Rec(SequentialRecommender):
         do_mask = (jax.random.uniform(km, seq.shape) < self.mask_ratio) & is_item
         masked_seq = jnp.where(do_mask, self.mask_token, seq)
         h = self._encode(params, masked_seq, ke)               # (B, L, D)
-        logits = jnp.einsum("bld,nd->bln", h, params["item_embedding"],
+        # CE over real items only — the reference slices the [MASK] row out
+        # of the softmax (bert4rec.py:225-228)
+        logits = jnp.einsum("bld,nd->bln", h,
+                            params["item_embedding"][:self.n_items],
                             preferred_element_type=jnp.float32)
         logp = jax.nn.log_softmax(logits, -1)
         nll = -jnp.take_along_axis(logp, seq[:, :, None], -1)[:, :, 0]
-        w = do_mask.astype(jnp.float32)
+        # position 0 can never contribute: the reference stores masked
+        # indices in a 0-padded buffer, so a masked FIRST position is
+        # indistinguishable from padding and is dropped (bert4rec.py:229-232)
+        w = (do_mask & (jnp.arange(L)[None, :] > 0)).astype(jnp.float32)
         if "_weight" in batch:
             w = w * batch["_weight"][:, None]
         return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
