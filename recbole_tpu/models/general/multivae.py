@@ -34,8 +34,12 @@ class MultiVAE(GeneralRecommender):
         self.anneal_cap = config["anneal_cap"]
         self.total_anneal_steps = config["total_anneal_steps"]
         self.init_history(dataset)
-        self.enc_dims = [self.n_items] + self.hidden + [self.latent * 2]
-        self.dec_dims = [self.latent] + self.hidden[::-1] + [self.n_items]
+        # latent_dimension counts mu+logvar TOGETHER: z is lat // 2
+        # (reference multivae.py encode dims end at latent_dimension and the
+        # decoder starts at latent_dimension // 2)
+        self.z_dim = self.latent // 2
+        self.enc_dims = [self.n_items] + self.hidden + [self.latent]
+        self.dec_dims = [self.z_dim] + self.hidden[::-1] + [self.n_items]
 
     def init_params(self, rng):
         ke, kd = jax.random.split(rng)
@@ -57,7 +61,7 @@ class MultiVAE(GeneralRecommender):
             rng, dk = jax.random.split(rng)
             h = dropout_apply(dk, h, self.dropout_prob)
         enc = self._mlp(params["encoder"], h)
-        mu, logvar = enc[:, :self.latent], enc[:, self.latent:]
+        mu, logvar = enc[:, :self.z_dim], enc[:, self.z_dim:]
         if rng is not None:
             rng, zk = jax.random.split(rng)
             z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(zk, mu.shape)
@@ -71,7 +75,9 @@ class MultiVAE(GeneralRecommender):
         x = self._rating_matrix(user)
         logits, mu, logvar = self._forward(params, x, rng)
         step = batch.get("_step", jnp.int32(0)).astype(jnp.float32)
-        anneal = jnp.minimum(self.anneal_cap * step / self.total_anneal_steps,
+        # anneal = min(cap, step/total) — plain ratio clipped at the cap
+        # (reference multivae.py:107-111)
+        anneal = jnp.minimum(step / self.total_anneal_steps,
                              self.anneal_cap) if self.total_anneal_steps > 0 \
             else jnp.float32(self.anneal_cap)
         w = batch.get("_weight")

@@ -957,3 +957,96 @@ def test_kgcn_loss_parity(synth_dataset_dir):
                  our_m.LABEL: jnp.asarray(lbl)}
     our_loss = float(our_m.calculate_loss(params, our_batch, rng=None))
     np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4)
+
+
+def _ref_model_manual_split(model, data_path, extra=None):
+    """The reference's UserDataLoader is broken on this image (TypeError in
+    data_preparation); split manually and construct the model from the TRAIN
+    split — the VAE/autoencoder family only needs user-id batches anyway."""
+    from recbole.config import Config
+    from recbole.config.eval_setting import EvalSetting
+    from recbole.data import create_dataset
+    from recbole.utils import init_seed, get_model
+    cfg = {**BASE_CFG, "data_path": data_path, **(extra or {})}
+    config = Config(model=model, dataset="synth", config_dict=cfg)
+    init_seed(config["seed"], config["reproducibility"])
+    ds = create_dataset(config)
+    built = ds.build(EvalSetting(config))
+    m = get_model(config["model"])(config, built[0]).to("cpu")
+    m.eval()
+    return config, ds, m
+
+
+def _compare_user_batch(model, data_path, mapper, extra=None, rtol=2e-4,
+                        our_extra_cols=None):
+    _, rds, ref_m = _ref_model_manual_split(model, data_path, extra)
+    _, ods, our_m, params = _our_pipeline(model, data_path, extra)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    users = np.arange(1, rds.user_num, dtype=np.int64)
+    mapper(ref_m, params)
+    from recbole.data.interaction import Interaction
+    inter = Interaction({ref_m.USER_ID: torch.tensor(users)})
+    with torch.no_grad():
+        ref_loss = _scalar(ref_m.calculate_loss(inter))
+    our_batch = {our_m.USER_ID: jnp.asarray(users)}
+    if our_extra_cols:
+        our_batch.update(our_extra_cols)
+    our_loss = _scalar(our_m.calculate_loss(params, our_batch, rng=None))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=rtol,
+                               err_msg=f"{model} loss mismatch")
+
+
+def test_multivae_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {}
+        for i, lyr in enumerate(params["encoder"]):
+            upd[f"encoder.{2 * i}.weight"] = np.asarray(lyr["w"]).T
+            upd[f"encoder.{2 * i}.bias"] = lyr["b"]
+        for i, lyr in enumerate(params["decoder"]):
+            upd[f"decoder.{2 * i}.weight"] = np.asarray(lyr["w"]).T
+            upd[f"decoder.{2 * i}.bias"] = lyr["b"]
+        _load(ref_m, upd)
+    # the reference increments its update counter before the first anneal;
+    # feed the matching _step
+    _compare_user_batch("MultiVAE", synth_dataset_dir, mapper,
+                        extra={"dropout_prob": 0.0},
+                        our_extra_cols={"_step": jnp.int32(1)})
+
+
+def test_multidae_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {}
+        for i, lyr in enumerate(params["encoder"]):
+            upd[f"encoder.mlp_layers.{1 + 3 * i}.weight"] = \
+                np.asarray(lyr["w"]).T
+            upd[f"encoder.mlp_layers.{1 + 3 * i}.bias"] = lyr["b"]
+        for i, lyr in enumerate(params["decoder"]):
+            upd[f"decoder.{2 * i}.weight"] = np.asarray(lyr["w"]).T
+            upd[f"decoder.{2 * i}.bias"] = lyr["b"]
+        _load(ref_m, upd)
+    _compare_user_batch("MultiDAE", synth_dataset_dir, mapper,
+                        extra={"dropout_prob": 0.0})
+
+
+def test_cdae_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "h_user.weight": params["user_embedding"],
+            "h_item.weight": np.asarray(params["enc_w"]).T,
+            "h_item.bias": params["enc_b"],
+            "out_layer.weight": np.asarray(params["dec_w"]).T,
+            "out_layer.bias": params["dec_b"],
+        })
+    _compare_user_batch("CDAE", synth_dataset_dir, mapper,
+                        extra={"corruption_ratio": 0.0})
+
+
+def test_enmf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            "H_i.weight": np.asarray(params["h"]).T,
+        })
+    _compare_user_batch("ENMF", synth_dataset_dir, mapper,
+                        extra={"dropout_prob": 0.0})
