@@ -104,11 +104,20 @@ class KnowledgeBasedDataset(Dataset):
         self.field2type[self.entity_field] = FeatureType.TOKEN
         self.field2source[self.entity_field] = FeatureSource.KG
 
-        # relations: own space + trailing [UI-Relation]
+        # relations: own space + trailing [UI-Relation]; ids in FIRST-
+        # OCCURRENCE order (reference pd.factorize semantics,
+        # dataset.py:810-928 — np.unique's sorted order would permute
+        # relation ids vs the reference)
         rels = self.kg_feat[self.relation_field]
-        uniq, codes = np.unique(rels.astype(str), return_inverse=True)
-        id2rel = np.concatenate([[PAD_TOKEN], uniq, [self.UI_RELATION]])
-        self.kg_feat[self.relation_field] = (codes + 1).astype(np.int32)
+        vt = rels.astype(str)
+        uniq, codes = np.unique(vt, return_inverse=True)
+        first_pos = np.full(len(uniq), len(vt), dtype=np.int64)
+        np.minimum.at(first_pos, codes, np.arange(len(vt)))
+        order = np.argsort(first_pos, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        id2rel = np.concatenate([[PAD_TOKEN], uniq[order], [self.UI_RELATION]])
+        self.kg_feat[self.relation_field] = (rank[codes] + 1).astype(np.int32)
         self.field2id_token[self.relation_field] = id2rel
         self.field2token_id[self.relation_field] = {t: i for i, t
                                                     in enumerate(id2rel)}

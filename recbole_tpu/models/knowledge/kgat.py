@@ -51,15 +51,22 @@ class KGAT(KnowledgeRecommender):
         self.edge_h = self.register_const("edge_h", h)   # node = entity id, users offset later
         self.edge_r = self.register_const("edge_r", r)
         self.edge_t = self.register_const("edge_t", t)
-        # second copy sorted by HEAD (the storage convention for
-        # params["edge_attention"]); edge_perm maps relation-sorted order
-        # (the attention update's layout) into head-sorted order
+        # Attention lives on UNIQUE (head, tail) pairs, not raw edges:
+        # torch.sparse.softmax COALESCES the reference's attention matrix,
+        # so parallel edges (duplicate interactions, multi-relation pairs)
+        # have their TransR scores SUMMED before the per-head softmax and
+        # propagate as one entry (kgat.py:253-265 + torch coalesce
+        # semantics). edge_to_pair folds relation-sorted edge scores into
+        # head-major-sorted unique pairs.
         from ...ops.edge_prop import build_ell_consts
         self.n_nodes = self.n_entities + self.n_users
-        hperm = np.argsort(h, kind="stable")
-        self.edge_perm = self.register_const("edge_perm",
-                                             hperm.astype(np.int32))
-        h_hs, t_hs = h[hperm], t[hperm]
+        pair_key = h.astype(np.int64) * self.n_nodes + t.astype(np.int64)
+        uniq_keys, edge_to_pair = np.unique(pair_key, return_inverse=True)
+        self.n_pairs = len(uniq_keys)
+        h_hs = (uniq_keys // self.n_nodes).astype(np.int32)
+        t_hs = (uniq_keys % self.n_nodes).astype(np.int32)
+        self.edge_to_pair = self.register_const(
+            "edge_to_pair", edge_to_pair.astype(np.int32))
         self.edge_h_hs = self.register_const("edge_h_hs",
                                              h_hs.astype(np.int32))
         # TPU propagation routing. Only the USER and ITEM rows of the
@@ -141,8 +148,9 @@ class KGAT(KnowledgeRecommender):
         for li in range(len(self.layers)):
             kk = jax.random.fold_in(rng, 100 + li)
             k1, k2 = jax.random.split(kk)
+            in1 = 2 * dims[li] if self.aggregator == "graphsage" else dims[li]
             params["agg"].append({
-                "w1": xavier_normal(k1, (dims[li], dims[li + 1])),
+                "w1": xavier_normal(k1, (in1, dims[li + 1])),
                 "b1": jnp.zeros(dims[li + 1]),
                 "w2": xavier_normal(k2, (dims[li], dims[li + 1])),
                 "b2": jnp.zeros(dims[li + 1]),
@@ -150,12 +158,20 @@ class KGAT(KnowledgeRecommender):
         return params
 
     def _init_attention(self):
-        """Initial attention (row-normalized adjacency), HEAD-SORTED order —
-        the storage convention for params["edge_attention"] throughout."""
-        deg = np.bincount(np.asarray(self.edge_h_hs.value),
-                          minlength=self.n_nodes)
-        return jnp.asarray(1.0 / np.maximum(deg, 1))[
-            jnp.asarray(self.edge_h_hs)]
+        """Initial attention (row-normalized adjacency summed over parallel
+        edges), one value per unique HEAD-SORTED pair — the storage
+        convention for params["edge_attention"] throughout. Deviation from
+        the reference's construction-time matrix (kgat.py:120-145): that one
+        is built by dgl with per-relation normalization in the TRANSPOSED
+        orientation of its own update_attentive_A and only survives until
+        the first per-epoch update; we keep the post-update orientation
+        from the start."""
+        eh = np.asarray(self.edge_h.value)
+        deg = np.bincount(eh, minlength=self.n_nodes)
+        per_edge = 1.0 / np.maximum(deg, 1)[eh]
+        per_pair = np.bincount(np.asarray(self.edge_to_pair.value),
+                               weights=per_edge, minlength=self.n_pairs)
+        return jnp.asarray(per_pair.astype(np.float32))
 
     def _all_embeddings(self, params):
         return jnp.concatenate([params["entity_embedding"],
@@ -190,7 +206,11 @@ class KGAT(KnowledgeRecommender):
             t_e = jnp.dot(t_all[s:e], w, preferred_element_type=jnp.float32)
             parts.append(jnp.sum(
                 t_e * jnp.tanh(h_e + params["relation_embedding"][r]), -1))
-        scores = jnp.concatenate(parts)[jnp.asarray(self.edge_perm)]
+        # parallel-edge scores SUM into their unique pair (torch coalesce
+        # semantics, see __init__); pairs are already head-major sorted
+        scores = jax.ops.segment_sum(
+            jnp.concatenate(parts), jnp.asarray(self.edge_to_pair),
+            num_segments=self.n_pairs)
         att = jax.lax.stop_gradient(self._edge_softmax(scores))
         out = dict(params)
         out["edge_attention"] = att
@@ -216,9 +236,8 @@ class KGAT(KnowledgeRecommender):
                         preferred_element_type=jnp.float32) + layer["b1"])
         if self.aggregator == "graphsage":
             return jax.nn.leaky_relu(
-                jnp.dot(jnp.concatenate([x, side], -1)[:, :layer["w1"].shape[0]],
-                        layer["w1"], preferred_element_type=jnp.float32)
-                + layer["b1"])
+                jnp.dot(jnp.concatenate([x, side], -1), layer["w1"],
+                        preferred_element_type=jnp.float32) + layer["b1"])
         add = jax.nn.leaky_relu(
             jnp.dot(x + side, layer["w1"],
                     preferred_element_type=jnp.float32) + layer["b1"])

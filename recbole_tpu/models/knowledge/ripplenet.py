@@ -21,6 +21,12 @@ from .. import register_model
 
 def build_ripple_sets(hist, hlen, kg_h, kg_r, kg_t, n_users, n_hop, n_memory,
                       seed=2020):
+    """Per-user fixed-size hop memories (reference _build_ripple_set,
+    ripplenet.py:83-140): hop 0 seeds from the user's train items; a hop
+    with no reachable triples COPIES the previous hop's sampled memories;
+    users with no hop-0 triples get all-zero (PAD) memories — which stay
+    LIVE rows downstream (the reference runs its softmax/kge/reg over them
+    with the real entity-0/relation-0 embeddings, no masking)."""
     rng = np.random.RandomState(seed)
     # head -> list of (r, t)
     out = {}
@@ -29,7 +35,6 @@ def build_ripple_sets(hist, hlen, kg_h, kg_r, kg_t, n_users, n_hop, n_memory,
     H = np.zeros((n_users, n_hop, n_memory), np.int32)
     R = np.zeros((n_users, n_hop, n_memory), np.int32)
     T = np.zeros((n_users, n_hop, n_memory), np.int32)
-    M = np.zeros((n_users, n_hop), np.float32)  # valid flags (any memories?)
     for u in range(n_users):
         seeds = list(hist[u][:hlen[u]])
         for hop in range(n_hop):
@@ -38,14 +43,18 @@ def build_ripple_sets(hist, hlen, kg_h, kg_r, kg_t, n_users, n_hop, n_memory,
                 for (rr, tt) in out.get(int(s), []):
                     triples.append((int(s), int(rr), int(tt)))
             if not triples:
-                break
+                if hop > 0:  # copy the previous hop (ripplenet.py:126-127)
+                    H[u, hop], R[u, hop], T[u, hop] = (H[u, hop - 1],
+                                                       R[u, hop - 1],
+                                                       T[u, hop - 1])
+                seeds = list(T[u, hop])
+                continue
             idx = rng.choice(len(triples), n_memory,
                              replace=len(triples) < n_memory)
             for j, k in enumerate(idx):
                 H[u, hop, j], R[u, hop, j], T[u, hop, j] = triples[k]
-            M[u, hop] = 1.0
             seeds = [triples[k][2] for k in idx]
-    return H, R, T, M
+    return H, R, T
 
 
 @register_model("RippleNet")
@@ -63,13 +72,12 @@ class RippleNet(KnowledgeRecommender):
         self.reg_weight = config["reg_weight"]
         hist, hlen = dataset.history_item_matrix()
         h, r, t = dataset.kg_arrays()
-        H, R, T, M = build_ripple_sets(hist, hlen, h, r, t, self.n_users,
-                                       self.n_hop, self.n_memory,
-                                       config["seed"] or 2020)
+        H, R, T = build_ripple_sets(hist, hlen, h, r, t, self.n_users,
+                                    self.n_hop, self.n_memory,
+                                    config["seed"] or 2020)
         self.rip_h = self.register_const("rip_h", H)
         self.rip_r = self.register_const("rip_r", R)
         self.rip_t = self.register_const("rip_t", T)
-        self.rip_m = self.register_const("rip_m", M)
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 3)
@@ -117,14 +125,15 @@ class RippleNet(KnowledgeRecommender):
             probs = jax.nn.softmax(
                 jnp.einsum("bmi,bci->bcm", rh, v,
                            preferred_element_type=jnp.float32), -1)
-            probs = probs * self.rip_m[user, hop][:, None, None]
             o = jnp.einsum("bcm,bmi->bci", probs, t_e,
                            preferred_element_type=jnp.float32)
             o_sum = o_sum + o
             v = jnp.dot(v + o, params["transform"],
                         preferred_element_type=jnp.float32)
-        item_e = params["entity_embedding"][cand]
-        scores = jnp.sum(item_e * o_sum, -1)
+        # score against the hop-TRANSFORMED item embedding (the reference's
+        # self.item_embeddings has been through transform_matrix n_hop
+        # times by the final dot, ripplenet.py:174-178 + 215-216)
+        scores = jnp.sum(v * o_sum, -1)
         if return_kg:
             return scores, (rh_all, h_all, t_all, r_all)
         return scores
@@ -196,9 +205,12 @@ class RippleNet(KnowledgeRecommender):
                                dtype=jnp.float32) * row_w[:, None, None],
                 (0, 1))                                              # (R,)
             r_sq = counts @ rel_sq
+            # EmbLoss divides by the flattened gather's row count B*M
+            # (loss.py:70-84 with (B*M, ·) inputs)
             reg = reg + (jnp.sqrt(jnp.clip(h_sq, 1e-12))
                          + jnp.sqrt(jnp.clip(t_sq, 1e-12))
-                         + jnp.sqrt(jnp.clip(r_sq, 1e-12))) / eff_b
+                         + jnp.sqrt(jnp.clip(r_sq, 1e-12))) / (
+                             eff_b * self.n_memory)
         W = params["transform"]
         reg = reg + jnp.sqrt(jnp.clip(jnp.sum(W ** 2), 1e-12)) / W.shape[0]
         return loss, -self.kg_weight * kge, self.reg_weight * reg

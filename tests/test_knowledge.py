@@ -93,10 +93,13 @@ def test_kgat_dense_path_matches_full_ell(synth_dataset_dir, tmp_path):
     m_full = get_model("KGAT")(cfg, train.dataset)
     m_full.dense_path = False
     from recbole_tpu.ops.edge_prop import build_ell_consts
-    h, r, t = train.dataset.ckg_arrays()
-    hperm = np.argsort(h, kind="stable")
+    # ELL over the UNIQUE head-sorted pairs (the edge_attention convention)
+    h2, r2, t2 = train.dataset.ckg_arrays()
+    uniq_keys = np.unique(h2.astype(np.int64) * m_full.n_nodes
+                          + t2.astype(np.int64))
     ell_consts, m_full._ell_shapes = build_ell_consts(
-        h[hperm], t[hperm], m_full.n_nodes)
+        (uniq_keys // m_full.n_nodes).astype(np.int32),
+        (uniq_keys % m_full.n_nodes).astype(np.int32), m_full.n_nodes)
     m_full._ell = {k: m_full.register_const(k, v)
                    for k, v in ell_consts.items()}
 
@@ -196,9 +199,10 @@ def test_ripplenet_loss_formula(synth_dataset_dir, tmp_path):
                                rtol=1e-5, atol=1e-7)
     reg = 0.0
     for hop in range(m.n_hop):
+        # EmbLoss over the flattened (B*M, ·) gathers divides by B*M
         reg += (np.linalg.norm(h_all[:, hop])
                 + np.linalg.norm(t_all[:, hop])
-                + np.linalg.norm(Rm[r_all[:, hop]])) / B
+                + np.linalg.norm(Rm[r_all[:, hop]])) / (B * m.n_memory)
     reg += np.linalg.norm(W) / W.shape[0]
     np.testing.assert_allclose(reg_part, m.reg_weight * reg,
                                rtol=1e-5, atol=1e-9)

@@ -959,6 +959,168 @@ def test_kgcn_loss_parity(synth_dataset_dir):
     np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4)
 
 
+def test_kgat_loss_parity(synth_dataset_dir, monkeypatch):
+    """KGAT steady-state parity: inject our params into the reference, run
+    BOTH update_attentive_A implementations (TransR edge scores + per-head
+    sparse softmax), then compare rec loss, kg loss and pair scores. The
+    reference's construction-time A (dgl init_graph) is skipped — dgl is
+    not installed on this image, and that matrix only lives until the first
+    epoch's update_attentive_A overwrites it (kgat.py:120-145, 253-265)."""
+    from recbole.model.knowledge_aware_recommender.kgat import KGAT as RefKGAT
+    from recbole.data.dataset.kg_dataset import KnowledgeBasedDataset
+
+    monkeypatch.setattr(
+        KnowledgeBasedDataset, "_create_ckg_graph",
+        lambda self, form="dgl", show_relation=False: None)
+
+    def stub_init_graph(self):
+        idx = torch.zeros((2, 1), dtype=torch.long)
+        return torch.sparse_coo_tensor(idx, torch.zeros(1), self.matrix_size)
+
+    monkeypatch.setattr(RefKGAT, "init_graph", stub_init_graph)
+    extra = {"load_col": KG_COLS}
+    _, rds, rtrain, ref_m = _ref_pipeline("KGAT", synth_dataset_dir, extra)
+    _, ods, our_m, params = _our_pipeline("KGAT", synth_dataset_dir, extra)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    batch_np, inter = _first_ref_batch(rtrain)
+    D, Dk = our_m.embedding_size, our_m.kg_embedding_size
+    R = np.asarray(params["relation_embedding"]).shape[0]
+    _load(ref_m, {
+        "user_embedding.weight": params["user_embedding"],
+        "entity_embedding.weight": params["entity_embedding"],
+        "relation_embedding.weight": params["relation_embedding"],
+        "trans_w.weight": np.asarray(params["trans_w"]).reshape(R, D * Dk),
+        "aggregator_layers.0.W1.weight": np.asarray(params["agg"][0]["w1"]).T,
+        "aggregator_layers.0.W1.bias": params["agg"][0]["b1"],
+        "aggregator_layers.0.W2.weight": np.asarray(params["agg"][0]["w2"]).T,
+        "aggregator_layers.0.W2.bias": params["agg"][0]["b2"],
+    })
+    with torch.no_grad():
+        ref_m.update_attentive_A()
+    params = our_m.update_attentive_A(params)
+    with torch.no_grad():
+        ref_rs = float(ref_m.calculate_loss(inter))
+        ref_kg = float(ref_m.calculate_kg_loss(inter))
+        ref_pair = ref_m.predict(inter).numpy()
+    batch = _to_jnp(batch_np)
+    with our_m.bind_consts(params.get("_const", {})):
+        our_rs = float(our_m.calculate_loss(params, batch, rng=None))
+        our_kg = float(our_m.calculate_kg_loss(params, batch, rng=None))
+        our_pair = np.asarray(our_m.predict(params, batch))
+    np.testing.assert_allclose(our_rs, ref_rs, rtol=2e-4,
+                               err_msg="KGAT rec loss mismatch")
+    np.testing.assert_allclose(our_kg, ref_kg, rtol=2e-4,
+                               err_msg="KGAT kg loss mismatch")
+    np.testing.assert_allclose(our_pair, ref_pair, rtol=2e-3, atol=2e-5,
+                               err_msg="KGAT pair scores mismatch")
+
+
+def test_ripplenet_loss_parity(synth_dataset_dir):
+    """Full RippleNet loss (BCE − kg_weight·kge + reg_weight·EmbLoss) with
+    the reference's np.random ripple sets injected into our hop-memory
+    consts; exercises the transformed-item scoring chain, the all-hop kge
+    sigmoid term and the per-hop gathered-triple reg."""
+    extra = {"load_col": KG_COLS}
+    _, rds, rtrain, ref_m = _ref_pipeline("RippleNet", synth_dataset_dir,
+                                          extra)
+    _, ods, our_m, params = _our_pipeline("RippleNet", synth_dataset_dir,
+                                          extra)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    batch_np, inter = _first_ref_batch(rtrain)
+    nH, nM = our_m.n_hop, our_m.n_memory
+    H = np.zeros((rds.user_num, nH, nM), np.int32)
+    R = np.zeros_like(H)
+    T = np.zeros_like(H)
+    for u, sets in ref_m.ripple_set.items():
+        for hop in range(nH):
+            H[u, hop] = sets[hop][0].numpy()
+            R[u, hop] = sets[hop][1].numpy()
+            T[u, hop] = sets[hop][2].numpy()
+    our_m.rip_h = our_m.register_const("rip_h", H)
+    our_m.rip_r = our_m.register_const("rip_r", R)
+    our_m.rip_t = our_m.register_const("rip_t", T)
+    D = our_m.embedding_size
+    Rn = np.asarray(params["relation_embedding"]).shape[0]
+    _load(ref_m, {
+        "entity_embedding.weight": params["entity_embedding"],
+        "relation_embedding.weight":
+            np.asarray(params["relation_embedding"]).reshape(Rn, D * D),
+        "transform_matrix.weight": np.asarray(params["transform"]).T,
+    })
+    with torch.no_grad():
+        ref_loss = float(ref_m.calculate_loss(inter))
+        ref_pred = ref_m.predict(inter).numpy()
+    batch = _to_jnp(batch_np)
+    our_loss = _scalar(our_m.calculate_loss(params, batch, rng=None))
+    # our predict applies the final sigmoid; the reference returns logits
+    our_pred = np.asarray(our_m._forward(
+        params, batch[our_m.USER_ID], batch[our_m.ITEM_ID]))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4,
+                               err_msg="RippleNet loss mismatch")
+    np.testing.assert_allclose(our_pred, ref_pred, rtol=2e-3, atol=2e-5,
+                               err_msg="RippleNet scores mismatch")
+
+
+def _padded_pair_table(table_dict, offset, value, n_rows):
+    """Reference interaction_table (user*offset+entity -> label) entries with
+    the given label, as a padded per-user matrix + lengths."""
+    per_user = {}
+    for k, v in table_dict.items():
+        if v == value:
+            per_user.setdefault(int(k) // offset, []).append(int(k) % offset)
+    width = max((len(v) for v in per_user.values()), default=1)
+    tab = np.zeros((n_rows, width), np.int32)
+    lens = np.zeros((n_rows,), np.int32)
+    for u, ents in per_user.items():
+        tab[u, :len(ents)] = ents
+        lens[u] = len(ents)
+    return tab, lens
+
+
+def test_kgnnls_loss_parity(synth_dataset_dir):
+    # inject the reference's np.random neighbor tables AND its
+    # python-random interaction table (pos=1 / sampled neg=0 labels)
+    # into our consts; full loss incl. label smoothness + reg.
+    extra = {"load_col": KG_COLS}
+    _, rds, rtrain, ref_m = _ref_pipeline("KGNNLS", synth_dataset_dir, extra)
+    _, ods, our_m, params = _our_pipeline("KGNNLS", synth_dataset_dir, extra)
+    batch_np, inter = _first_ref_batch(rtrain)
+    our_m.adj_ent = our_m.register_const(
+        "adj_ent", ref_m.adj_entity.numpy().astype(np.int32))
+    our_m.adj_rel = our_m.register_const(
+        "adj_rel", ref_m.adj_relation.numpy().astype(np.int32))
+    rows = rds.user_num + 1
+    pos_t, pos_l = _padded_pair_table(
+        ref_m.interaction_table, ref_m.offset, 1.0, rows)
+    neg_t, neg_l = _padded_pair_table(
+        ref_m.interaction_table, ref_m.offset, 0.0, rows)
+    our_m.hist = our_m.register_const("hist", pos_t)
+    our_m.hlen = our_m.register_const("hlen", pos_l)
+    our_m.neg_hist = our_m.register_const("neg_hist", neg_t)
+    our_m.neg_len = our_m.register_const("neg_len", neg_l)
+    R = np.asarray(params["relation_embedding"]).shape[0]
+    sd = ref_m.state_dict()
+    rel_full = sd["relation_embedding.weight"].numpy().copy()
+    rel_full[:R] = np.asarray(params["relation_embedding"])
+    _load(ref_m, {
+        "user_embedding.weight": params["user_embedding"],
+        "entity_embedding.weight": params["entity_embedding"],
+        "relation_embedding.weight": rel_full,
+        "linear_layers.0.weight": np.asarray(params["agg_w"][0]).T,
+        "linear_layers.0.bias": params["agg_b"][0],
+    })
+    with torch.no_grad():
+        ref_loss = float(ref_m.calculate_loss(inter))
+    u = np.concatenate([batch_np["user_id"], batch_np["user_id"]])
+    i = np.concatenate([batch_np["item_id"], batch_np["neg_item_id"]])
+    lbl = np.concatenate([np.ones_like(batch_np["user_id"], np.float32),
+                          np.zeros_like(batch_np["user_id"], np.float32)])
+    our_batch = {our_m.USER_ID: jnp.asarray(u), our_m.ITEM_ID: jnp.asarray(i),
+                 our_m.LABEL: jnp.asarray(lbl)}
+    our_loss = float(our_m.calculate_loss(params, our_batch, rng=None))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4)
+
+
 def _ref_model_manual_split(model, data_path, extra=None):
     """The reference's UserDataLoader is broken on this image (TypeError in
     data_preparation); split manually and construct the model from the TRAIN
