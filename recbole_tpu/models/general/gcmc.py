@@ -1,23 +1,28 @@
 """GCMC: graph convolutional matrix completion.
 
 Parity target: reference GCMC (recbole/model/general_recommender/gcmc.py) —
-one-hot node features through factor weights (with identity features this is
-just selecting weight rows), symmetric-normalized bipartite propagation,
-shared dense layer, bilinear multi-basis decoder over class logits with
-2-class cross-entropy pairwise training.
+one-hot node features through shared factor weights (with identity features
+this is just selecting weight rows; share_user_item_weights=True makes the
+user/item weight lists the SAME ParameterList, gcmc.py:246-258), symmetric-
+normalized bipartite propagation, relu, shared bias-free dense layer with
+IDENTITY activation (act_dense, gcmc.py:237-297), bilinear multi-basis
+decoder over class logits with 2-class cross-entropy pairwise training;
+ranking scores are the raw class-1 logit (gcmc.py:195-211).
 
-TPU re-design: the sparse A_hat @ H product is an edge-list
-gather -> scale -> segment_sum (same machinery as LightGCN); the one-hot
-feature x weight sparse matmuls collapse to row slices of the weight
-matrices.
+TPU re-design: the sparse A_hat @ H product is dense-MXU bipartite
+propagation; the one-hot feature x weight sparse matmuls collapse to row
+slices of the weight matrix; the reference's SparseDropout on the identity
+features becomes per-node row dropout.
 """
+
+import math
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..base import GeneralRecommender
-from ..layers import xavier_normal, dropout_apply
+from ..layers import dropout_apply
 from ...utils.enums import InputType
 from .. import register_model
 
@@ -46,34 +51,49 @@ class GCMC(GeneralRecommender):
                                   self.n_users, self.n_items)
 
     def init_params(self, rng):
-        ks = jax.random.split(rng, 5 + self.n_basis)
+        ks = jax.random.split(rng, 4 + self.n_basis)
+        # uniform ranges from the reference's _init_weights (gcmc.py:300-316)
+        w_range = math.sqrt(2.0 / (self.num_all + self.gcn_dim))
+        d_range = math.sqrt(2.0 / (self.dense_dim + self.gcn_dim))
+        dec_range = math.sqrt(self.n_class / (self.n_basis + self.n_class))
         params = {
-            "wu": xavier_normal(ks[0], (self.num_all, self.gcn_dim)),
-            "wv": xavier_normal(ks[1], (self.num_all, self.gcn_dim)),
-            "dense_w": xavier_normal(ks[2], (self.gcn_dim, self.dense_dim)),
-            "dense_b": jnp.zeros((self.dense_dim,)),
-            "dec_dense": xavier_normal(ks[3], (self.n_basis, self.n_class)),
+            # share_user_item_weights=True: ONE weight table serves both
+            # user and item features (gcmc.py:246-258)
+            "w": jax.random.uniform(ks[0], (self.num_all, self.gcn_dim),
+                                    minval=-w_range, maxval=w_range),
+            "dense_w": jax.random.uniform(
+                ks[1], (self.gcn_dim, self.dense_dim),
+                minval=-d_range, maxval=d_range),
+            "dec_dense": jax.random.uniform(
+                ks[2], (self.n_basis, self.n_class),
+                minval=-dec_range, maxval=dec_range),
             "q": [],
             "_const": self.prop.init_consts(),
         }
         for i in range(self.n_basis):
-            # orthogonal basis init (parity: gcmc.py orthogonal())
-            a = jax.random.normal(ks[4 + i], (self.dense_dim, self.dense_dim))
+            # 1.1-scaled orthogonal basis init (parity: gcmc.py orthogonal())
+            a = jax.random.normal(ks[3 + i], (self.dense_dim, self.dense_dim))
             q, _ = jnp.linalg.qr(a)
-            params["q"].append(q)
+            params["q"].append(1.1 * q)
         return params
 
     def _encode(self, params, rng=None):
-        # identity features: user_X @ Wu = Wu[:n_users], item_X @ Wv = Wv[n_users:]
-        h = jnp.concatenate([params["wu"][:self.n_users],
-                             params["wv"][self.n_users:]], axis=0)
+        # identity features: user_X @ W = W[:n_users], item_X @ W = W[n_users:]
+        h = params["w"]
+        if rng is not None and self.dropout_prob > 0:
+            # SparseDropout on the identity features == per-node row dropout
+            # (gcmc.py:330-335 + get_sparse_eye_mat)
+            rng, sk = jax.random.split(rng)
+            keep = 1.0 - self.dropout_prob
+            mask = jax.random.bernoulli(sk, keep, (self.num_all, 1))
+            h = h * mask / keep
         agg = jax.nn.relu(self.prop(params["_const"], h))
         if rng is not None and self.dropout_prob > 0:
             rng, dk = jax.random.split(rng)
             agg = dropout_apply(dk, agg, self.dropout_prob)
-        out = jax.nn.relu(jnp.dot(agg, params["dense_w"],
-                                  preferred_element_type=jnp.float32)
-                          + params["dense_b"])
+        # bias-free dense layer with IDENTITY activation (act_dense)
+        out = jnp.dot(agg, params["dense_w"],
+                      preferred_element_type=jnp.float32)
         return out[:self.n_users], out[self.n_users:]
 
     def _class_logits(self, params, u_emb, i_emb):
@@ -103,6 +123,7 @@ class GCMC(GeneralRecommender):
         return jnp.sum(nll * w2) / jnp.maximum(jnp.sum(w2), 1.0)
 
     def _scores(self, params, user, items=None):
+        """Ranking score = class-1 logit (reference predict, gcmc.py:195-202)."""
         ue, ie = self._encode(params)
         if items is None:
             # all items: basis_k = (U Q_k) I^T
@@ -111,9 +132,9 @@ class GCMC(GeneralRecommender):
                      for q in params["q"]]
             basis = jnp.stack(basis, axis=-1)                   # (B, N, n_basis)
             logits = jnp.dot(basis, params["dec_dense"])        # (B, N, n_class)
-            return logits[..., 1] - logits[..., 0]
+            return logits[..., 1]
         logits = self._class_logits(params, ue[user], ie[items])
-        return logits[..., 1] - logits[..., 0]
+        return logits[..., 1]
 
     def predict(self, params, batch):
         return self._scores(params, batch[self.USER_ID], batch[self.ITEM_ID])

@@ -72,7 +72,9 @@ class NNCF(GeneralRecommender):
             c = int(lens[r])
             if c == 0:
                 continue
-            if method == "random" and c >= K:
+            if method == "random":
+                # K samples WITH replacement whatever the true count
+                # (reference get_neigh_random, nncf.py:275-307)
                 out[r] = hist[r, rng.randint(0, c, size=K)]
             else:
                 take = min(c, K)

@@ -1212,3 +1212,123 @@ def test_enmf_loss_parity(synth_dataset_dir):
         })
     _compare_user_batch("ENMF", synth_dataset_dir, mapper,
                         extra={"dropout_prob": 0.0})
+
+
+def test_macridvae_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {"item_embedding.weight": params["item_embedding"],
+               "k_embedding.weight": params["k_embedding"]}
+        for i, lyr in enumerate(params["encoder"]):
+            upd[f"encoder.{2 * i}.weight"] = np.asarray(lyr["w"]).T
+            upd[f"encoder.{2 * i}.bias"] = lyr["b"]
+        _load(ref_m, upd)
+    # eval mode: gumbel sampling and dropout off on both sides; reference
+    # bumps its update counter before the anneal -> matching _step=1
+    _compare_user_batch("MacridVAE", synth_dataset_dir, mapper,
+                        extra={"drop_out": 0.0},
+                        our_extra_cols={"_step": jnp.int32(1)})
+
+
+def test_recvae_loss_parity(synth_dataset_dir):
+    """RecVAE negative ELBO with the composite prior (standard + frozen
+    old-encoder posterior + wide-normal mixture); the reference's
+    calculate_loss takes an encoder_flag arg, so this drives it directly
+    instead of via _compare_user_batch."""
+    _, rds, ref_m = _ref_model_manual_split("RecVAE", synth_dataset_dir)
+    _, ods, our_m, params = _our_pipeline("RecVAE", synth_dataset_dir)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    users = np.arange(1, rds.user_num, dtype=np.int64)
+    upd = {"decoder.weight": np.asarray(params["decoder"]["w"]).T,
+           "decoder.bias": params["decoder"]["b"]}
+    for prefix, tree in (("encoder", params["encoder"]),
+                         ("prior.encoder_old", params["encoder_old"])):
+        for i in range(1, 6):
+            upd[f"{prefix}.fc{i}.weight"] = np.asarray(tree[f"fc{i}"]["w"]).T
+            upd[f"{prefix}.fc{i}.bias"] = tree[f"fc{i}"]["b"]
+            upd[f"{prefix}.ln{i}.weight"] = tree[f"ln{i}_g"]
+            upd[f"{prefix}.ln{i}.bias"] = tree[f"ln{i}_b"]
+        for head in ("mu", "logvar"):
+            upd[f"{prefix}.fc_{head}.weight"] = \
+                np.asarray(tree[f"fc_{head}"]["w"]).T
+            upd[f"{prefix}.fc_{head}.bias"] = tree[f"fc_{head}"]["b"]
+    _load(ref_m, upd)
+    from recbole.data.interaction import Interaction
+    inter = Interaction({ref_m.USER_ID: torch.tensor(users)})
+    with torch.no_grad():
+        ref_loss = float(ref_m.calculate_loss(inter, encoder_flag=True))
+    our_loss = float(our_m.calculate_loss(
+        params, {our_m.USER_ID: jnp.asarray(users)}, rng=None))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4,
+                               err_msg="RecVAE loss mismatch")
+
+
+def test_nncf_loss_parity(synth_dataset_dir):
+    """NNCF BCE with the reference's np.random neighbor tables injected into
+    our consts; exercises the Conv1d+MaxPool neighborhood encoders and the
+    GMF-mul + MLP + sigmoid head."""
+    _, rds, rtrain, ref_m = _ref_pipeline("NNCF", synth_dataset_dir)
+    _, ods, our_m, params = _our_pipeline("NNCF", synth_dataset_dir)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    batch_np, inter = _first_ref_batch(rtrain)
+    our_m.u_neigh = our_m.register_const(
+        "u_neigh", ref_m.u_neigh.numpy().astype(np.int32))
+    our_m.i_neigh = our_m.register_const(
+        "i_neigh", ref_m.i_neigh.numpy().astype(np.int32))
+    upd = {
+        "user_embedding.weight": params["user_embedding"],
+        "item_embedding.weight": params["item_embedding"],
+        "user_neigh_embedding.weight": params["user_neigh_embedding"],
+        "item_neigh_embedding.weight": params["item_neigh_embedding"],
+        "user_conv.0.weight": params["user_conv_w"],
+        "user_conv.0.bias": params["user_conv_b"],
+        "item_conv.0.weight": params["item_conv_w"],
+        "item_conv.0.bias": params["item_conv_b"],
+        "out_layer.0.weight": np.asarray(params["out_w"]).T,
+        "out_layer.0.bias": np.asarray(params["out_b"]).reshape(1),
+    }
+    for i, lyr in enumerate(params["mlp"]):
+        upd[f"mlp_layers.mlp_layers.{1 + 3 * i}.weight"] = \
+            np.asarray(lyr["w"]).T
+        upd[f"mlp_layers.mlp_layers.{1 + 3 * i}.bias"] = lyr["b"]
+    _load(ref_m, upd)
+    with torch.no_grad():
+        ref_loss = float(ref_m.calculate_loss(inter))
+    our_loss = float(our_m.calculate_loss(params, _to_jnp(batch_np),
+                                          rng=None))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4,
+                               err_msg="NNCF loss mismatch")
+
+
+def test_gcmc_loss_parity(synth_dataset_dir):
+    """GCMC 2-class cross-entropy + class-1-logit ranking scores. The
+    reference shares its user/item GCN weight lists and dense layer
+    (share_user_item_weights=True), so both aliased state keys get the
+    same table."""
+    _, rds, rtrain, ref_m = _ref_pipeline("GCMC", synth_dataset_dir)
+    _, ods, our_m, params = _our_pipeline("GCMC", synth_dataset_dir)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    batch_np, inter = _first_ref_batch(rtrain)
+    upd = {
+        "GcEncoder.weights_u.0": params["w"],
+        "GcEncoder.dense_layer_u.weight": np.asarray(params["dense_w"]).T,
+        "BiDecoder.dense_layer.weight": np.asarray(params["dec_dense"]).T,
+    }
+    for i, q in enumerate(params["q"]):
+        upd[f"BiDecoder.weights.{i}"] = q
+    sd = ref_m.state_dict()
+    if "GcEncoder.weights_v.0" in sd:
+        upd["GcEncoder.weights_v.0"] = params["w"]
+    if "GcEncoder.dense_layer_v.weight" in sd:
+        upd["GcEncoder.dense_layer_v.weight"] = \
+            np.asarray(params["dense_w"]).T
+    _load(ref_m, upd)
+    with torch.no_grad():
+        ref_loss = float(ref_m.calculate_loss(inter))
+        ref_pred = ref_m.predict(inter).numpy()
+    batch = _to_jnp(batch_np)
+    our_loss = float(our_m.calculate_loss(params, batch, rng=None))
+    our_pred = np.asarray(our_m.predict(params, batch))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4,
+                               err_msg="GCMC loss mismatch")
+    np.testing.assert_allclose(our_pred, ref_pred, rtol=2e-3, atol=2e-5,
+                               err_msg="GCMC scores mismatch")
