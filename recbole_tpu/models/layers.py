@@ -86,6 +86,8 @@ def dot_c(x, w, compute_dtype=None):
 # ------------------------------------------------------------------------ MLP
 
 def activation(name):
+    if callable(name):
+        return name
     return {
         "sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh, "relu": jax.nn.relu,
         "leakyrelu": jax.nn.leaky_relu,

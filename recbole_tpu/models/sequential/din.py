@@ -11,27 +11,19 @@ import jax
 import jax.numpy as jnp
 
 from ..base import SequentialRecommender
-from ..layers import mlp_init, xavier_normal
+from ..layers import mlp_init, mlp_apply, xavier_normal
 from ..losses import bce_loss
 from ...utils.enums import InputType
 from .. import register_model
 from .feat_embed import ItemFeatEmbedder
 
 
-def dice(x, alpha, training=True, eps=1e-8):
-    """Dice activation (parity: layers.py:228): p = sigmoid(standardize(x)),
-    out = p*x + (1-p)*alpha*x. Training standardizes with in-batch
-    statistics (the reference uses BatchNorm); evaluation uses the raw
-    activation so scores cannot depend on batch composition or padded
-    fill rows (our functional design keeps no running statistics)."""
-    if training:
-        mean = jnp.mean(x, axis=0, keepdims=True)
-        std = jnp.std(x, axis=0, keepdims=True) + eps
-        x_norm = (x - mean) / std
-    else:
-        x_norm = x
-    p = jax.nn.sigmoid(x_norm)
-    return p * x + (1.0 - p) * alpha * x
+def dice(x):
+    """Dice activation AS IMPLEMENTED by the reference (layers.py:228-248):
+    its alpha is a plain zeros tensor — not a Parameter, never trains — and
+    no standardization happens despite the docstring math, so
+    f(x) = sigmoid(x)·x (swish, exactly)."""
+    return jax.nn.sigmoid(x) * x
 
 
 def att_mlp_init(rng, dims):
@@ -75,6 +67,7 @@ class DIN(SequentialRecommender):
         self.LABEL = config["LABEL_FIELD"]
         self.embedding_size = config["embedding_size"]
         self.mlp_hidden_size = list(config["mlp_hidden_size"])
+        self.dropout_prob = config["dropout_prob"]
         self.embedder = ItemFeatEmbedder(
             dataset, config["selected_features"], config["pooling_mode"])
         self.feat_dim = self.embedder.num_fields * self.embedding_size
@@ -84,34 +77,37 @@ class DIN(SequentialRecommender):
         H = self.feat_dim
         att_dims = [4 * H] + self.mlp_hidden_size
         dnn_dims = [3 * H] + self.mlp_hidden_size
-        params = self.embedder.init(ks[0], self.embedding_size)
+        # frozen N(0,1) feature tables (reference keeps them out of the
+        # optimizer/state_dict — see ItemFeatEmbedder.init)
+        params = {"_const": self.embedder.init(ks[0], self.embedding_size)}
         params["att"] = {
             "mlp": mlp_init(ks[1], att_dims),
             "dense_w": xavier_normal(ks[2], (att_dims[-1], 1)),
             "dense_b": jnp.zeros(()),
         }
-        params["dnn"] = mlp_init(ks[3], dnn_dims)
-        params["dice_alpha"] = [jnp.zeros((d,)) for d in self.mlp_hidden_size]
+        # bn=True: the reference's dnn_mlp_layers carry BatchNorm1d
+        # (din.py:71); our bn uses batch statistics (padded-row aware)
+        params["dnn"] = mlp_init(ks[3], dnn_dims, bn=True)
         params["predict_w"] = xavier_normal(ks[4], (self.mlp_hidden_size[-1], 1))
         params["predict_b"] = jnp.zeros(())
         return params
 
-    def _logits(self, params, batch, target_items, training=False):
+    def _logits(self, params, batch, target_items, rng=None):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
         keys = self.embedder.embed_flat(params, seq)               # (B, L, H)
         target = self.embedder.embed_flat(params, target_items)   # (B, H)
         user_emb, _ = sequence_attention(params["att"], target, keys, seq_len)
         x = jnp.concatenate([user_emb, target, user_emb * target], axis=-1)
-        for layer, alpha in zip(params["dnn"], params["dice_alpha"]):
-            x = jnp.dot(x, layer["w"],
-                        preferred_element_type=jnp.float32) + layer["b"]
-            x = dice(x, alpha, training=training)
+        # dropout → linear → batchnorm → dice (reference MLPLayers order)
+        x = mlp_apply(params["dnn"], x, act=dice,
+                      dropout=self.dropout_prob if rng is not None else 0.0,
+                      rng=rng, bn_w=batch.get("_weight"))
         return jnp.dot(x, params["predict_w"])[:, 0] + params["predict_b"]
 
     def calculate_loss(self, params, batch, rng=None):
         logits = self._logits(params, batch, batch[self.POS_ITEM_ID],
-                              training=True)
+                              rng=rng)
         return bce_loss(logits, batch[self.LABEL].astype(jnp.float32),
                         batch.get("_weight"))
 

@@ -56,7 +56,10 @@ class FDSA(SequentialRecommender):
     def init_params(self, rng):
         ks = jax.random.split(rng, 8)
         D = self.hidden_size
-        params = self.embedder.init(ks[0], D)
+        # frozen N(0,1) feature tables (reference keeps them out of the
+        # optimizer/state_dict — see ItemFeatEmbedder.init)
+        params = {"_const": self.embedder.init(ks[0], D,
+                                       frozen_item_id=False)}
         params["item_embedding"] = normal_init(
             ks[1], (self.n_items, D), self.initializer_range).at[0].set(0.0)
         params["position_embedding"] = normal_init(
@@ -112,5 +115,11 @@ class FDSA(SequentialRecommender):
                                    mask_spec=(key_valid, True), fused=fused)
         both = jnp.concatenate([self.gather_last(item_h, seq_len),
                                 self.gather_last(feat_h, seq_len)], axis=-1)
-        return jnp.dot(both, params["concat_w"],
-                       preferred_element_type=jnp.float32) + params["concat_b"]
+        out = jnp.dot(both, params["concat_w"],
+                      preferred_element_type=jnp.float32) + params["concat_b"]
+        # shared LayerNorm + dropout after the concat layer (fdsa.py:174-178)
+        out = layer_norm(out, params["ln_g"], params["ln_b"])
+        if rng is not None and self.hidden_dropout_prob > 0:
+            rng, dk = jax.random.split(rng)
+            out = dropout_apply(dk, out, self.hidden_dropout_prob)
+        return out

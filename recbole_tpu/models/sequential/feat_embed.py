@@ -27,18 +27,32 @@ class ItemFeatEmbedder:
     """
 
     def __init__(self, dataset, selected_features=None, pooling="mean",
-                 include_item_id=True):
+                 include_item_id=True, side="item"):
         self.pooling = pooling
         self.include_item_id = include_item_id
-        self.n_items = dataset.item_num
-        self.token_fields = []     # (field, vocab, (n_items,) ids)
-        self.float_fields = []     # (field, (n_items,) values)
-        self.seq_fields = []       # (field, vocab, (n_items, L) ids, lens)
-        feat = dataset.item_feat or {}
-        for field, col in feat.items():
-            if field == dataset.iid_field:
-                continue
-            if selected_features is not None and field not in selected_features:
+        self.side = side
+        if side == "item":
+            feat = dataset.item_feat or {}
+            key_field = dataset.iid_field
+            self.n_items = dataset.item_num
+        else:  # user side (DIEN's ContextSeqEmbLayer user stream)
+            feat = dataset.user_feat or {}
+            key_field = dataset.uid_field
+            self.n_items = dataset.user_num
+        self.id_key = ("item_embedding" if side == "item"
+                       else "user_embedding")
+        self.token_fields = []     # (field, vocab, (n_rows,) ids)
+        self.float_fields = []     # (field, (n_rows,) values)
+        self.seq_fields = []       # (field, vocab, (n_rows, L) ids, lens)
+        # fields walk in selected_features order when given (the reference's
+        # field_names iteration, layers.py:576-587), else dataset order
+        if selected_features is not None:
+            names = [f for f in selected_features if f in feat]
+        else:
+            names = [f for f in feat if f != key_field]
+        for field in names:
+            col = feat[field]
+            if field == key_field:
                 continue
             ftype = dataset.field2type[field]
             if ftype is FeatureType.TOKEN:
@@ -62,48 +76,70 @@ class ItemFeatEmbedder:
         return (1 if self.include_item_id else 0) + len(self.token_fields) \
             + len(self.float_fields) + len(self.seq_fields)
 
-    def init(self, rng, emb_size):
+    def init(self, rng, emb_size, frozen_item_id=True):
+        """N(0,1) FROZEN tables, to live under params["_const"].
+
+        The reference keeps these embedding tables in plain python dicts —
+        not nn.ModuleDict (layers.py:566-611) — so they are invisible to
+        state_dict, to .apply(xavier_normal_initialization) and to the
+        optimizer: they keep torch's default N(0,1) Embedding init and
+        never train. Models reproduce that by putting this dict under
+        params["_const"] (masked out of the optimizer)."""
         params = {}
-        if self.include_item_id:
+        if self.include_item_id and frozen_item_id:
+            # DIN/DIEN's id table lives INSIDE the unregistered layer
+            # (frozen); SASRecF/FDSA register their own trainable
+            # item_embedding at the top level, which _get prefers —
+            # they pass frozen_item_id=False to skip this dead copy
             rng, k = jax.random.split(rng)
-            params["item_embedding"] = xavier_normal(
-                k, (self.n_items, emb_size)).at[0].set(0.0)
+            params[self.id_key] = jax.random.normal(
+                k, (self.n_items, emb_size))
         for field, vocab, _ in self.token_fields:
             rng, k = jax.random.split(rng)
-            params[f"feat_{field}"] = xavier_normal(k, (vocab, emb_size)) \
-                .at[0].set(0.0)
+            params[f"feat_{field}"] = jax.random.normal(k, (vocab, emb_size))
         for field, _ in self.float_fields:
             rng, k = jax.random.split(rng)
-            params[f"feat_{field}"] = xavier_normal(k, (1, emb_size))
+            params[f"feat_{field}"] = jax.random.normal(k, (1, emb_size))
         for field, vocab, _, _ in self.seq_fields:
             rng, k = jax.random.split(rng)
-            params[f"feat_{field}"] = xavier_normal(k, (vocab, emb_size)) \
-                .at[0].set(0.0)
+            params[f"feat_{field}"] = jax.random.normal(k, (vocab, emb_size))
         return params
 
+    @staticmethod
+    def _get(params, key):
+        """Top-level (trainable) params win over the frozen _const copy."""
+        if key in params:
+            return params[key]
+        return params["_const"][key]
+
     def embed(self, params, items):
-        """items: int array of any shape -> (*items.shape, F, D)."""
+        """items: int array of any shape -> (*items.shape, F, D).
+
+        Field order matches the reference's [sparse(token, token_seq),
+        dense(float)] concatenation (layers.py:755-766 + the caller's
+        feature_table append order)."""
         parts = []
         if self.include_item_id:
-            parts.append(params["item_embedding"][items][..., None, :])
+            parts.append(self._get(params, self.id_key)[items][..., None, :])
         for field, _, ids in self.token_fields:
-            parts.append(params[f"feat_{field}"][ids[items]][..., None, :])
-        for field, vals in self.float_fields:
-            parts.append((params[f"feat_{field}"][0]
-                          * vals[items][..., None])[..., None, :])
+            parts.append(self._get(params, f"feat_{field}")[ids[items]][..., None, :])
         for field, _, padded, lens in self.seq_fields:
-            member = params[f"feat_{field}"][padded[items]]   # (..., L, D)
+            member = self._get(params, f"feat_{field}")[padded[items]]   # (..., L, D)
             ln = lens[items]
             valid = (jnp.arange(padded.shape[1]) <
                      ln[..., None]).astype(jnp.float32)[..., None]
             if self.pooling == "max":
-                pooled = jnp.max(jnp.where(valid > 0, member, -1e9), axis=-2)
+                # emb − (1−mask)·1e9 (layers.py:683-688), NOT a hard where
+                pooled = jnp.max(member - (1.0 - valid) * 1e9, axis=-2)
             elif self.pooling == "sum":
                 pooled = jnp.sum(member * valid, axis=-2)
             else:
                 pooled = jnp.sum(member * valid, axis=-2) \
-                    / jnp.maximum(ln[..., None], 1)
+                    / (ln[..., None].astype(jnp.float32) + 1e-8)
             parts.append(pooled[..., None, :])
+        for field, vals in self.float_fields:
+            parts.append((self._get(params, f"feat_{field}")[0]
+                          * vals[items][..., None])[..., None, :])
         return jnp.concatenate(parts, axis=-2)
 
     def embed_flat(self, params, items):

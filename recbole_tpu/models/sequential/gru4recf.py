@@ -49,7 +49,9 @@ class GRU4RecF(SequentialRecommender):
         ks = jax.random.split(rng, 5)
         D, H = self.embedding_size, self.hidden_size
         F = max(self.embedder.num_fields, 1)
-        params = self.embedder.init(ks[0], D)
+        # frozen N(0,1) feature tables (reference keeps them out of the
+        # optimizer/state_dict — see ItemFeatEmbedder.init)
+        params = {"_const": self.embedder.init(ks[0], D)}
         params["item_embedding"] = embedding_init(ks[1], self.n_items, D)
         params["item_gru"] = gru_init(ks[2], D, H, self.num_layers)
         params["feat_gru"] = gru_init(ks[3], F * D, H, self.num_layers)

@@ -51,7 +51,10 @@ class SASRecF(SequentialRecommender):
         ks = jax.random.split(rng, 5)
         D = self.hidden_size
         F = self.embedder.num_fields
-        params = self.embedder.init(ks[0], D)
+        # frozen N(0,1) feature tables (reference keeps them out of the
+        # optimizer/state_dict — see ItemFeatEmbedder.init)
+        params = {"_const": self.embedder.init(ks[0], D,
+                                       frozen_item_id=False)}
         params["item_embedding"] = normal_init(
             ks[1], (self.n_items, D), self.initializer_range).at[0].set(0.0)
         params["position_embedding"] = normal_init(

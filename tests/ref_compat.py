@@ -88,4 +88,61 @@ def load_reference():
 
         _load._ref_compat = True
         torch.load = _load
+
+    # pandas 2 changed Series.agg(len) to aggregate the WHOLE series, which
+    # breaks the reference's token_seq remap (dataset.py:908-928: the inner
+    # np.split sees one chunk instead of per-row lengths). Re-express the
+    # same mapping with an explicit per-row map.
+    from recbole.data.dataset.dataset import Dataset as _RefDataset
+    if not getattr(_RefDataset._remap, "_ref_compat", False):
+        import pandas as pd
+        from recbole.utils import FeatureType as _FT
+
+        def _remap(self, remap_list):
+            tokens, split_point = self._concat_remaped_tokens(remap_list)
+            new_ids_list, mp = pd.factorize(tokens)
+            new_ids_list = np.split(new_ids_list + 1, split_point)
+            mp = np.array(["[PAD]"] + list(mp))
+            token_id = {t: i for i, t in enumerate(mp)}
+            for (feat, field, ftype), new_ids in zip(remap_list,
+                                                     new_ids_list):
+                if field not in self.field2id_token:
+                    self.field2id_token[field] = mp
+                    self.field2token_id[field] = token_id
+                if ftype == _FT.TOKEN:
+                    feat[field] = new_ids
+                elif ftype == _FT.TOKEN_SEQ:
+                    lens = [len(v) for v in feat[field]]
+                    sp = np.cumsum(lens)[:-1]
+                    feat[field] = pd.Series(np.split(new_ids, sp),
+                                            index=feat.index)
+
+        _remap._ref_compat = True
+        _RefDataset._remap = _remap
+
+    # pandas 2 CoW makes the reference's `feat[field].fillna(inplace=True)`
+    # a silent no-op (dataset.py:490-503), leaving the PAD row's float
+    # features NaN — which then NaN-poisons attention softmaxes in
+    # SASRecF/FDSA/DIN. Re-express with assignment (same fill values).
+    if not getattr(_RefDataset._fill_nan, "_ref_compat", False):
+        from recbole.utils import FeatureType as _FT2
+
+        def _fill_nan(self):
+            for feat_name in self.feat_name_list:
+                feat = getattr(self, feat_name)
+                for field in feat:
+                    ftype = self.field2type[field]
+                    if ftype == _FT2.TOKEN:
+                        feat[field] = feat[field].fillna(value=0)
+                    elif ftype == _FT2.FLOAT:
+                        feat[field] = feat[field].fillna(
+                            value=feat[field].mean())
+                    else:
+                        dt = np.int64 if ftype == _FT2.TOKEN_SEQ else float
+                        feat[field] = feat[field].apply(
+                            lambda x, dt=dt: np.array([], dtype=dt)
+                            if isinstance(x, float) else x)
+
+        _fill_nan._ref_compat = True
+        _RefDataset._fill_nan = _fill_nan
     return REFERENCE_PATH

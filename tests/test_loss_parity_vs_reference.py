@@ -1332,3 +1332,228 @@ def test_gcmc_loss_parity(synth_dataset_dir):
                                err_msg="GCMC loss mismatch")
     np.testing.assert_allclose(our_pred, ref_pred, rtol=2e-3, atol=2e-5,
                                err_msg="GCMC scores mismatch")
+
+
+FEAT_COLS = {"inter": ["user_id", "item_id", "rating", "timestamp"],
+             "item": ["item_id", "genre", "price"]}
+FEAT_EXTRA = {"load_col": FEAT_COLS, "selected_features": ["genre", "price"],
+              "pooling_mode": "mean", "loss_type": "CE",
+              "training_neg_sample_num": 0, "MAX_ITEM_LIST_LENGTH": 10,
+              "dropout_prob": 0.0}
+
+
+def _inject_feat_tables(ref_m, const, seq_fields=(), float_fields=(),
+                        token_fields=(), kind="item"):
+    """Copy our frozen feature tables into the reference's UNREGISTERED
+    embedding dicts (they are not in state_dict — layers.py:566-611)."""
+    layer = ref_m.feature_embed_layer
+    for i, f in enumerate(seq_fields):
+        layer.token_seq_embedding_table[kind][i].weight.data = \
+            torch.tensor(np.asarray(const[f"feat_{f}"], dtype=np.float32))
+    if float_fields:
+        tbl = np.stack([np.asarray(const[f"feat_{f}"])[0]
+                        for f in float_fields])
+        layer.float_embedding_table[kind].weight.data = \
+            torch.tensor(tbl.astype(np.float32))
+    if token_fields:
+        tbl = np.concatenate([np.asarray(const[f"feat_{f}"])
+                              for f in token_fields], axis=0)
+        layer.token_embedding_table[kind].embedding.weight.data = \
+            torch.tensor(tbl.astype(np.float32))
+
+
+def test_gru4recf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "item_embedding.weight": params["item_embedding"],
+            "dense_layer.weight": np.asarray(params["dense_w"]).T,
+            "dense_layer.bias": params["dense_b"],
+        }
+        for name, g in (("item_gru_layers", params["item_gru"]),
+                        ("feature_gru_layers", params["feat_gru"])):
+            for li, layer in enumerate(g):
+                upd[f"{name}.weight_ih_l{li}"] = np.asarray(layer["wi"]).T
+                upd[f"{name}.weight_hh_l{li}"] = np.asarray(layer["wh"]).T
+        _load(ref_m, upd)
+        _inject_feat_tables(ref_m, params["_const"], seq_fields=["genre"],
+                            float_fields=["price"])
+    _compare("GRU4RecF", synth_dataset_dir, mapper, extra=FEAT_EXTRA)
+
+
+def _trm_keys(prefix, lyr):
+    return {
+        f"{prefix}.multi_head_attention.query.weight": np.asarray(lyr["wq"]).T,
+        f"{prefix}.multi_head_attention.query.bias": lyr["bq"],
+        f"{prefix}.multi_head_attention.key.weight": np.asarray(lyr["wk"]).T,
+        f"{prefix}.multi_head_attention.key.bias": lyr["bk"],
+        f"{prefix}.multi_head_attention.value.weight": np.asarray(lyr["wv"]).T,
+        f"{prefix}.multi_head_attention.value.bias": lyr["bv"],
+        f"{prefix}.multi_head_attention.dense.weight": np.asarray(lyr["wo"]).T,
+        f"{prefix}.multi_head_attention.dense.bias": lyr["bo"],
+        f"{prefix}.multi_head_attention.LayerNorm.weight": lyr["ln1_g"],
+        f"{prefix}.multi_head_attention.LayerNorm.bias": lyr["ln1_b"],
+        f"{prefix}.feed_forward.dense_1.weight": np.asarray(lyr["ff1_w"]).T,
+        f"{prefix}.feed_forward.dense_1.bias": lyr["ff1_b"],
+        f"{prefix}.feed_forward.dense_2.weight": np.asarray(lyr["ff2_w"]).T,
+        f"{prefix}.feed_forward.dense_2.bias": lyr["ff2_b"],
+        f"{prefix}.feed_forward.LayerNorm.weight": lyr["ln2_g"],
+        f"{prefix}.feed_forward.LayerNorm.bias": lyr["ln2_b"],
+    }
+
+
+def test_sasrecf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "item_embedding.weight": params["item_embedding"],
+            "position_embedding.weight": params["position_embedding"],
+            "concat_layer.weight": np.asarray(params["concat_w"]).T,
+            "concat_layer.bias": params["concat_b"],
+            "LayerNorm.weight": params["ln_g"],
+            "LayerNorm.bias": params["ln_b"],
+        }
+        for i, lyr in enumerate(params["encoder"]):
+            upd.update(_trm_keys(f"trm_encoder.layer.{i}", lyr))
+        _load(ref_m, upd)
+        _inject_feat_tables(ref_m, params["_const"], seq_fields=["genre"],
+                            float_fields=["price"])
+    _compare("SASRecF", synth_dataset_dir, mapper,
+             extra={**FEAT_EXTRA, "hidden_dropout_prob": 0.0,
+                    "attn_dropout_prob": 0.0})
+
+
+def test_fdsa_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "item_embedding.weight": params["item_embedding"],
+            "position_embedding.weight": params["position_embedding"],
+            "concat_layer.weight": np.asarray(params["concat_w"]).T,
+            "concat_layer.bias": params["concat_b"],
+            "LayerNorm.weight": params["ln_g"],
+            "LayerNorm.bias": params["ln_b"],
+            "feature_att_layer.projection.0.weight":
+                np.asarray(params["va_w1"]).T,
+            "feature_att_layer.projection.0.bias": params["va_b1"],
+            "feature_att_layer.projection.2.weight":
+                np.asarray(params["va_w2"]).T,
+        }
+        for enc, ours in (("item_trm_encoder", params["item_encoder"]),
+                          ("feature_trm_encoder", params["feat_encoder"])):
+            for i, lyr in enumerate(ours):
+                upd.update(_trm_keys(f"{enc}.layer.{i}", lyr))
+        _load(ref_m, upd)
+        _inject_feat_tables(ref_m, params["_const"], seq_fields=["genre"],
+                            float_fields=["price"])
+    _compare("FDSA", synth_dataset_dir, mapper,
+             extra={**FEAT_EXTRA, "hidden_dropout_prob": 0.0,
+                    "attn_dropout_prob": 0.0})
+
+
+def test_din_loss_parity(synth_dataset_dir):
+    """DIN BCE in torch TRAIN mode (batch-stat BatchNorm in the Dice DNN,
+    dropout zeroed). The reference's ContextSeqEmbLayer tables (item_id
+    token + genre token_seq + price float) are frozen/unregistered; our
+    _const copies are injected into its raw embedding objects."""
+    extra = {"load_col": FEAT_COLS, "MAX_ITEM_LIST_LENGTH": 10,
+             "dropout_prob": 0.0, "pooling_mode": "mean"}
+    _, rds, rtrain, ref_m = _ref_pipeline("DIN", synth_dataset_dir, extra)
+    _, ods, our_m, params = _our_pipeline("DIN", synth_dataset_dir, extra)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    batch_np, inter = _first_ref_batch(rtrain)
+    const = params["_const"]
+    layer = ref_m.embedding_layer
+    layer.token_embedding_table["item"].embedding.weight.data = \
+        torch.tensor(np.asarray(const["item_embedding"], dtype=np.float32))
+    layer.token_seq_embedding_table["item"][0].weight.data = \
+        torch.tensor(np.asarray(const["feat_genre"], dtype=np.float32))
+    layer.float_embedding_table["item"].weight.data = \
+        torch.tensor(np.asarray(const["feat_price"], dtype=np.float32))
+    upd = {
+        "attention.dense.weight": np.asarray(params["att"]["dense_w"]).T,
+        "attention.dense.bias":
+            np.asarray(params["att"]["dense_b"]).reshape(1),
+        "dnn_predict_layers.weight": np.asarray(params["predict_w"]).T,
+        "dnn_predict_layers.bias":
+            np.asarray(params["predict_b"]).reshape(1),
+    }
+    for i, lyr in enumerate(params["att"]["mlp"]):
+        upd[f"attention.att_mlp_layers.mlp_layers.{1 + 3 * i}.weight"] = \
+            np.asarray(lyr["w"]).T
+        upd[f"attention.att_mlp_layers.mlp_layers.{1 + 3 * i}.bias"] = \
+            lyr["b"]
+    for i, lyr in enumerate(params["dnn"]):
+        upd[f"dnn_mlp_layers.mlp_layers.{1 + 4 * i}.weight"] = \
+            np.asarray(lyr["w"]).T
+        upd[f"dnn_mlp_layers.mlp_layers.{1 + 4 * i}.bias"] = lyr["b"]
+        upd[f"dnn_mlp_layers.mlp_layers.{2 + 4 * i}.weight"] = lyr["bn_g"]
+        upd[f"dnn_mlp_layers.mlp_layers.{2 + 4 * i}.bias"] = lyr["bn_b"]
+    _load(ref_m, upd)
+    ref_m.train()
+    with torch.no_grad():
+        ref_loss = float(ref_m.calculate_loss(inter))
+    our_loss = float(our_m.calculate_loss(params, _to_jnp(batch_np),
+                                          rng=None))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4,
+                               err_msg="DIN loss mismatch")
+
+
+def test_dien_loss_parity(synth_dataset_dir):
+    """DIEN main BCE + alpha * auxiliary BCE in torch TRAIN mode, with the
+    reference's DIENDataLoader position-wise negative sequence consumed by
+    our calculate_loss and all frozen ContextSeqEmbLayer tables injected."""
+    extra = {"load_col": FEAT_COLS, "MAX_ITEM_LIST_LENGTH": 10,
+             "dropout_prob": 0.0, "pooling_mode": "mean"}
+    _, rds, rtrain, ref_m = _ref_pipeline("DIEN", synth_dataset_dir, extra)
+    _, ods, our_m, params = _our_pipeline("DIEN", synth_dataset_dir, extra)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    batch_np, inter = _first_ref_batch(rtrain)
+    assert "neg_item_id_list" in batch_np
+    const = params["_const"]
+    layer = ref_m.embedding_layer
+    layer.token_embedding_table["item"].embedding.weight.data = \
+        torch.tensor(np.asarray(const["item_embedding"], dtype=np.float32))
+    layer.token_seq_embedding_table["item"][0].weight.data = \
+        torch.tensor(np.asarray(const["feat_genre"], dtype=np.float32))
+    layer.float_embedding_table["item"].weight.data = \
+        torch.tensor(np.asarray(const["feat_price"], dtype=np.float32))
+    layer.token_embedding_table["user"].embedding.weight.data = \
+        torch.tensor(np.asarray(const["user_embedding"], dtype=np.float32))
+    g = params["extractor_gru"]
+    a = params["augru"]
+    upd = {
+        "interset_extractor.gru.weight_ih_l0": np.asarray(g["wi"]).T,
+        "interset_extractor.gru.weight_hh_l0": np.asarray(g["wh"]).T,
+        "interset_extractor.gru.bias_ih_l0": g["bi"],
+        "interset_extractor.gru.bias_hh_l0": g["bh"],
+        "interest_evolution.dynamic_rnn.rnn.weight_ih": np.asarray(a["wi"]).T,
+        "interest_evolution.dynamic_rnn.rnn.weight_hh": np.asarray(a["wh"]).T,
+        "interest_evolution.dynamic_rnn.rnn.bias_ih": a["bi"],
+        "interest_evolution.dynamic_rnn.rnn.bias_hh": a["bh"],
+        "interest_evolution.attention_layer.dense.weight":
+            np.asarray(params["att"]["dense_w"]).T,
+        "interest_evolution.attention_layer.dense.bias":
+            np.asarray(params["att"]["dense_b"]).reshape(1),
+        "dnn_predict_layer.weight": np.asarray(params["predict_w"]).T,
+        "dnn_predict_layer.bias": np.asarray(params["predict_b"]).reshape(1),
+    }
+    for i, lyr in enumerate(params["att"]["mlp"]):
+        p = f"interest_evolution.attention_layer.att_mlp_layers.mlp_layers"
+        upd[f"{p}.{1 + 3 * i}.weight"] = np.asarray(lyr["w"]).T
+        upd[f"{p}.{1 + 3 * i}.bias"] = lyr["b"]
+    for i, lyr in enumerate(params["aux_mlp"]):
+        p = "interset_extractor.auxiliary_net.mlp_layers"
+        upd[f"{p}.{1 + 3 * i}.weight"] = np.asarray(lyr["w"]).T
+        upd[f"{p}.{1 + 3 * i}.bias"] = lyr["b"]
+    for i, lyr in enumerate(params["dnn"]):
+        upd[f"dnn_mlp_layers.mlp_layers.{1 + 4 * i}.weight"] = \
+            np.asarray(lyr["w"]).T
+        upd[f"dnn_mlp_layers.mlp_layers.{1 + 4 * i}.bias"] = lyr["b"]
+        upd[f"dnn_mlp_layers.mlp_layers.{2 + 4 * i}.weight"] = lyr["bn_g"]
+        upd[f"dnn_mlp_layers.mlp_layers.{2 + 4 * i}.bias"] = lyr["bn_b"]
+    _load(ref_m, upd)
+    ref_m.train()
+    with torch.no_grad():
+        ref_loss = float(ref_m.calculate_loss(inter))
+    our_loss = _scalar(our_m.calculate_loss(params, _to_jnp(batch_np),
+                                            rng=None))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4,
+                               err_msg="DIEN loss mismatch")
