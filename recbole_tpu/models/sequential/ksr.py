@@ -83,9 +83,11 @@ class KSR(SequentialRecommender):
 
     def _tables(self, params):
         ent = params["entity_embedding"]
-        rel = params["relation_embedding"]
         if self.freeze_kg:
-            ent, rel = jax.lax.stop_gradient(ent), jax.lax.stop_gradient(rel)
+            ent = jax.lax.stop_gradient(ent)
+        # the reference's relation_Matrix is a plain tensor, not a
+        # Parameter — it NEVER trains, freeze_kg or not (ksr.py:79-81)
+        rel = jax.lax.stop_gradient(params["relation_embedding"])
         return ent, rel
 
     def forward(self, params, batch, rng=None):

@@ -109,10 +109,10 @@ class S3Rec(SequentialRecommender):
             "encoder": transformer_init(ks[3], self.n_layers, self.n_heads,
                                         D, self.inner_size),
             "ln_g": jnp.ones(D), "ln_b": jnp.zeros(D),
-            "aap_w": xavier_normal(ks[4], (D, D)),
-            "mip_w": xavier_normal(ks[5], (D, D)),
-            "map_w": xavier_normal(ks[6], (D, D)),
-            "sp_w": xavier_normal(ks[7], (D, D)),
+            "aap_w": xavier_normal(ks[4], (D, D)), "aap_b": jnp.zeros(D),
+            "mip_w": xavier_normal(ks[5], (D, D)), "mip_b": jnp.zeros(D),
+            "map_w": xavier_normal(ks[6], (D, D)), "map_b": jnp.zeros(D),
+            "sp_w": xavier_normal(ks[7], (D, D)), "sp_b": jnp.zeros(D),
         }
 
     # ---------------------------------------------------------------- encoder
@@ -145,45 +145,91 @@ class S3Rec(SequentialRecommender):
         return jnp.maximum(logits, 0) - logits * target \
             + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
+    def pretrain_core(self, params, features, masked_seq, pos_items,
+                      neg_items, masked_segment, pos_segment, neg_segment,
+                      last_pos, row_w=None, rng=None):
+        """The four pretrain objectives over PRE-SAMPLED tensors, with the
+        reference's exact SUM scaling (no batch-size division —
+        s3rec.py:189-245 sums every per-position BCE term).
+
+        features: (B, L, F) attribute multi-hot aligned with pos_items;
+        last_pos: (B,) readout position for the SP encodings (the reference
+        left-pads its pretrain rows and reads [:, -1])."""
+        B, L = masked_seq.shape
+        if row_w is None:
+            row_w = jnp.ones((B,))
+        rngs = (jax.random.split(rng, 4) if rng is not None
+                else [None] * 4)
+        seq_len_full = jnp.full((B,), L, jnp.int32)
+        out = self._encode(params, masked_seq, seq_len_full, True, rngs[0])
+        feat_emb = params["feature_embedding"]                  # (F, D)
+        mask_flag = masked_seq == self.mask_token
+        real = masked_seq != 0
+
+        # AAP — attributes at real UNMASKED positions
+        aap_logits = jnp.einsum(
+            "bld,fd->blf", (jnp.dot(out, params["aap_w"]) + params["aap_b"]), feat_emb)
+        aap_mask = (real & ~mask_flag) * row_w[:, None]
+        # torch BCE clamps each log at -100 (so per-element loss <= 100)
+        aap = jnp.sum(jnp.minimum(self._bce(aap_logits, features), 100.0)
+                      * aap_mask[..., None])
+
+        # MIP — masked item prediction, BCE(σ(pos − neg), 1)
+        mip_h = jnp.dot(out, params["mip_w"]) + params["mip_b"]
+        # each side is SIGMOIDED before the difference
+        # (_masked_item_prediction returns sigmoid scores, s3rec.py:139-144)
+        pos_s = jax.nn.sigmoid(
+            jnp.sum(mip_h * params["item_embedding"][pos_items], -1))
+        neg_s = jax.nn.sigmoid(
+            jnp.sum(mip_h * params["item_embedding"][neg_items], -1))
+        mip = jnp.sum(jnp.logaddexp(0.0, neg_s - pos_s)
+                      * mask_flag * row_w[:, None])
+
+        # MAP — attributes at masked positions
+        map_logits = jnp.einsum(
+            "bld,fd->blf", (jnp.dot(out, params["map_w"]) + params["map_b"]), feat_emb)
+        map_ = jnp.sum(jnp.minimum(self._bce(map_logits, features), 100.0)
+                       * (mask_flag * row_w[:, None])[..., None])
+
+        # SP — segment prediction at the readout position
+        take = lambda h: jnp.take_along_axis(
+            h, last_pos[:, None, None].astype(jnp.int32), 1)[:, 0]
+        ctx = take(self._encode(params, masked_segment, seq_len_full, True,
+                                rngs[1]))
+        pos_emb = take(self._encode(params, pos_segment, seq_len_full, True,
+                                    rngs[2]))
+        neg_emb = take(self._encode(params, neg_segment, seq_len_full, True,
+                                    rngs[3]))
+        sp_h = jnp.dot(ctx, params["sp_w"]) + params["sp_b"]
+        # sigmoid per side (_segment_prediction, s3rec.py:151-155)
+        sp_pos = jax.nn.sigmoid(jnp.sum(sp_h * pos_emb, -1))
+        sp_neg = jax.nn.sigmoid(jnp.sum(sp_h * neg_emb, -1))
+        sp = jnp.sum(jnp.logaddexp(0.0, sp_neg - sp_pos) * row_w)
+
+        return (self.aap_weight * aap + self.mip_weight * mip
+                + self.map_weight * map_ + self.sp_weight * sp)
+
     def _pretrain_loss(self, params, seq, seq_len, rng, row_w=None):
+        """Device-side pretrain data sampling (the reference rebuilds these
+        tensors in a per-row host loop, reconstruct_pretrain_data,
+        s3rec.py:259-347), feeding pretrain_core. Sequences stay
+        right-padded; the SP readout is each row's last real position."""
         B, L = seq.shape
         valid = seq != 0
         if row_w is None:
             row_w = jnp.ones((B,))
         # padded duplicate fill rows (weight 0) must not contribute
         valid = valid & (row_w[:, None] > 0)
-        r_mask, r_neg, r_seg1, r_seg2, r_segneg, r_enc1, r_enc2, r_enc3, \
-            r_enc4 = jax.random.split(rng, 9)
+        r_mask, r_neg, r_seg1, r_seg2, r_core = jax.random.split(rng, 5)
 
         mask_flag = (jax.random.uniform(r_mask, (B, L)) < self.mask_ratio) \
             & valid
         masked_seq = jnp.where(mask_flag, self.mask_token, seq)
-        neg_items = jax.random.randint(r_neg, (B, L), 1, self.n_items)
+        neg_items = jnp.where(
+            mask_flag, jax.random.randint(r_neg, (B, L), 1, self.n_items),
+            seq)
 
-        out = self._encode(params, masked_seq, seq_len, True, r_enc1)
-        feat_emb = params["feature_embedding"]                  # (F, D)
-
-        # AAP — attributes at UNMASKED real positions
-        aap_logits = jnp.einsum(
-            "bld,fd->blf", jnp.dot(out, params["aap_w"]), feat_emb)
-        attr_target = self.attr_multihot[seq]                   # (B, L, F)
-        aap = jnp.sum(self._bce(aap_logits, attr_target)
-                      * (valid & ~mask_flag)[..., None])
-
-        # MIP — masked item prediction, σ(pos − neg) toward 1
-        mip_h = jnp.dot(out, params["mip_w"])
-        pos_s = jnp.sum(mip_h * params["item_embedding"][seq], -1)
-        neg_s = jnp.sum(mip_h * params["item_embedding"][neg_items], -1)
-        # BCE(σ(pos−neg), 1) = −log σ(pos−neg) = softplus(neg−pos)
-        mip = jnp.sum(jnp.logaddexp(0.0, neg_s - pos_s) * mask_flag)
-
-        # MAP — attributes at masked positions
-        map_logits = jnp.einsum(
-            "bld,fd->blf", jnp.dot(out, params["map_w"]), feat_emb)
-        map_ = jnp.sum(self._bce(map_logits, attr_target)
-                       * mask_flag[..., None])
-
-        # SP — segment prediction
+        # SP segments
         half = jnp.maximum(seq_len // 2, 1)
         seg_len = (jax.random.uniform(r_seg1, (B,)) * half).astype(jnp.int32) + 1
         start = (jax.random.uniform(r_seg2, (B,))
@@ -198,25 +244,10 @@ class S3Rec(SequentialRecommender):
         rolled = jnp.roll(seq, 1, axis=0)
         neg_segment = jnp.where(in_seg, jnp.maximum(rolled, 1),
                                 jnp.where(valid, self.mask_token, 0))
-        # readout at each sequence's LAST REAL position: sequences here are
-        # right-padded, unlike the reference's left-padded pretrain rows
-        ctx = self.gather_last(
-            self._encode(params, masked_segment, seq_len, True, r_enc2),
-            seq_len)
-        pos_emb = self.gather_last(
-            self._encode(params, pos_segment, seq_len, True, r_enc3),
-            seq_len)
-        neg_emb = self.gather_last(
-            self._encode(params, neg_segment, seq_len, True, r_enc4),
-            seq_len)
-        sp_h = jnp.dot(ctx, params["sp_w"])
-        sp = jnp.sum(jnp.logaddexp(
-            0.0, jnp.sum(sp_h * neg_emb, -1)
-            - jnp.sum(sp_h * pos_emb, -1)) * row_w)
-
-        n_real = jnp.maximum(jnp.sum(row_w), 1.0)
-        return (self.aap_weight * aap + self.mip_weight * mip
-                + self.map_weight * map_ + self.sp_weight * sp) / n_real
+        return self.pretrain_core(
+            params, self.attr_multihot[seq], masked_seq, seq, neg_items,
+            masked_segment, pos_segment, neg_segment,
+            jnp.clip(seq_len - 1, 0, L - 1), row_w, r_core)
 
     def calculate_loss(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
@@ -230,12 +261,16 @@ class S3Rec(SequentialRecommender):
             self._encode(params, seq, seq_len, False, rng), seq_len)
         pos = batch[self.POS_ITEM_ID]
         w = batch.get("_weight")
-        table = params["item_embedding"][:self.n_items]
         if self.loss_type == "BPR":
+            table = params["item_embedding"]
             neg = batch[self.NEG_ITEM_ID]
             return bpr_loss(jnp.sum(out * table[pos], -1),
                             jnp.sum(out * table[neg], -1), w)
-        logits = jnp.dot(out, table.T, preferred_element_type=jnp.float32)
+        # CE over the FULL table INCLUDING the mask-token row — the
+        # reference's finetune logits use item_embedding.weight whole
+        # (s3rec.py:377-379); only full_sort_predict drops the mask row
+        logits = jnp.dot(out, params["item_embedding"].T,
+                         preferred_element_type=jnp.float32)
         return ce_loss(logits, pos, w)
 
     def forward(self, params, batch, rng=None):

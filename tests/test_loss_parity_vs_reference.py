@@ -1557,3 +1557,135 @@ def test_dien_loss_parity(synth_dataset_dir):
                                             rng=None))
     np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4,
                                err_msg="DIEN loss mismatch")
+
+
+@pytest.fixture(scope="module")
+def synth_ent_dataset_dir(tmp_path_factory):
+    """Synth dataset + .ent preload file (8-dim pretrained entity vectors)."""
+    from tests.synth_data import make_synthetic_dataset
+    root = str(tmp_path_factory.mktemp("entdata"))
+    ds_dir = make_synthetic_dataset(root, name="synth")
+    rng = np.random.RandomState(0)
+    with open(f"{ds_dir}/synth.ent", "w") as fh:
+        fh.write("ent_id:token\tent_vec:float_seq\n")
+        for i in range(1, 101):
+            vec = " ".join(f"{v:.4f}" for v in rng.randn(8))
+            fh.write(f"e{i}\t{vec}\n")
+    with open(f"{ds_dir}/synth.rel", "w") as fh:
+        fh.write("rel_id:token\trel_vec:float_seq\n")
+        for r in range(1, 5):
+            vec = " ".join(f"{v:.4f}" for v in rng.randn(8))
+            fh.write(f"r{r}\t{vec}\n")
+    return root
+
+
+ENT_EXTRA = {"embedding_size": 8, "hidden_size": 16,
+             "additional_feat_suffix": ["ent"],
+             "preload_weight": {"ent_id": "ent_vec"},
+             "load_col": {"inter": ["user_id", "item_id", "rating",
+                                    "timestamp"],
+                          "kg": ["head_id", "relation_id", "tail_id"],
+                          "link": ["item_id", "entity_id"],
+                          "ent": ["ent_id", "ent_vec"]},
+             "loss_type": "CE", "training_neg_sample_num": 0,
+             "MAX_ITEM_LIST_LENGTH": 10, "dropout_prob": 0.0}
+
+
+def test_gru4reckg_loss_parity(synth_ent_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "item_embedding.weight": params["item_embedding"],
+            "entity_embedding.weight": params["entity_embedding"],
+            "dense_layer.weight": np.asarray(params["dense_w"]).T,
+            "dense_layer.bias": params["dense_b"],
+        }
+        for name, g in (("item_gru_layers", params["item_gru"]),
+                        ("entity_gru_layers", params["entity_gru"])):
+            for li, layer in enumerate(g):
+                upd[f"{name}.weight_ih_l{li}"] = np.asarray(layer["wi"]).T
+                upd[f"{name}.weight_hh_l{li}"] = np.asarray(layer["wh"]).T
+        _load(ref_m, upd)
+    _compare("GRU4RecKG", synth_ent_dataset_dir, mapper, extra=ENT_EXTRA)
+
+
+def test_ksr_loss_parity(synth_ent_dataset_dir):
+    extra = {**ENT_EXTRA,
+             "additional_feat_suffix": ["ent", "rel"],
+             "preload_weight": {"ent_id": "ent_vec", "rel_id": "rel_vec"},
+             "load_col": {**ENT_EXTRA["load_col"],
+                          "rel": ["rel_id", "rel_vec"]}}
+
+    def mapper(ref_m, params):
+        upd = {
+            "item_embedding.weight": params["item_embedding"],
+            "entity_embedding.weight": params["entity_embedding"],
+            "dense.weight": np.asarray(params["dense_w"]).T,
+            "dense.bias": params["dense_b"],
+            "dense_layer_u.weight": np.asarray(params["dense_u_w"]).T,
+            "dense_layer_u.bias": params["dense_u_b"],
+            "dense_layer_i.weight": np.asarray(params["dense_i_w"]).T,
+            "dense_layer_i.bias": params["dense_i_b"],
+        }
+        for li, layer in enumerate(params["gru"]):
+            upd[f"gru_layers.weight_ih_l{li}"] = np.asarray(layer["wi"]).T
+            upd[f"gru_layers.weight_hh_l{li}"] = np.asarray(layer["wh"]).T
+        _load(ref_m, upd)
+        # relation_Matrix is a plain tensor (not in state_dict)
+        ref_m.relation_Matrix = torch.tensor(
+            np.asarray(params["relation_embedding"], dtype=np.float32))
+    _compare("KSR", synth_ent_dataset_dir, mapper, extra=extra)
+
+
+def test_s3rec_loss_parity(synth_dataset_dir):
+    """S3Rec both stages: (1) pretrain — the reference's own
+    reconstruct_pretrain_data tensors are fed to BOTH its pretrain() and our
+    pretrain_core() (exact SUM scaling over AAP/MIP/MAP/SP); (2) finetune —
+    causal CE over the FULL item table including the mask-token row."""
+    extra = {"load_col": FEAT_COLS, "MAX_ITEM_LIST_LENGTH": 10,
+             "item_attribute": "genre", "train_stage": "pretrain",
+             "hidden_dropout_prob": 0.0, "attn_dropout_prob": 0.0,
+             "n_layers": 2, "loss_type": "CE",
+             "training_neg_sample_num": 0}
+    _, rds, rtrain, ref_m = _ref_pipeline("S3Rec", synth_dataset_dir, extra)
+    _, ods, our_m, params = _our_pipeline("S3Rec", synth_dataset_dir, extra)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    batch_np, inter = _first_ref_batch(rtrain)
+    upd = {
+        "item_embedding.weight": params["item_embedding"],
+        "position_embedding.weight": params["position_embedding"],
+        "feature_embedding.weight": params["feature_embedding"],
+        "LayerNorm.weight": params["ln_g"],
+        "LayerNorm.bias": params["ln_b"],
+    }
+    for head in ("aap", "mip", "map", "sp"):
+        upd[f"{head}_norm.weight"] = np.asarray(params[f"{head}_w"]).T
+        upd[f"{head}_norm.bias"] = params[f"{head}_b"]
+    for i, lyr in enumerate(params["encoder"]):
+        upd.update(_trm_keys(f"trm_encoder.layer.{i}", lyr))
+    _load(ref_m, upd)
+
+    item_seq = inter["item_id_list"]
+    item_seq_len = inter["item_length"]
+    with torch.no_grad():
+        tensors = ref_m.reconstruct_pretrain_data(item_seq, item_seq_len)
+        ref_pre = float(ref_m.pretrain(*tensors))
+    feats, masked, pos_i, neg_i, mseg, pseg, nseg = \
+        [t.numpy() for t in tensors]
+    L = masked.shape[1]
+    our_pre = float(our_m.pretrain_core(
+        params, jnp.asarray(feats, jnp.float32), jnp.asarray(masked),
+        jnp.asarray(pos_i), jnp.asarray(neg_i), jnp.asarray(mseg),
+        jnp.asarray(pseg), jnp.asarray(nseg),
+        jnp.full((masked.shape[0],), L - 1, jnp.int32)))
+    np.testing.assert_allclose(our_pre, ref_pre, rtol=2e-4,
+                               err_msg="S3Rec pretrain loss mismatch")
+
+    # finetune CE (flip the stage on both constructed models)
+    ref_m.train_stage = "finetune"
+    ref_m.loss_fct = torch.nn.CrossEntropyLoss()
+    our_m.train_stage = "finetune"
+    with torch.no_grad():
+        ref_ft = float(ref_m.calculate_loss(inter))
+    our_ft = float(our_m.calculate_loss(params, _to_jnp(batch_np), rng=None))
+    np.testing.assert_allclose(our_ft, ref_ft, rtol=2e-4,
+                               err_msg="S3Rec finetune loss mismatch")
