@@ -23,14 +23,18 @@ class EASE(GeneralRecommender):
         self.reg_weight = config["reg_weight"]
 
     def fit_params(self, rng, train_data):
+        import numpy as np
         mat = train_data.dataset.inter_matrix("csr")
-        X = jnp.asarray(mat.toarray(), jnp.float32)
-        G = jnp.dot(X.T, X, preferred_element_type=jnp.float32)
-        G = G + self.reg_weight * jnp.eye(G.shape[0], dtype=jnp.float32)
-        P = jnp.linalg.inv(G)
-        B = -P / jnp.diag(P)[:, None]
-        B = B - jnp.diag(jnp.diag(B))
-        return {"inter": X, "weight": B}
+        X = mat.toarray().astype(np.float32)
+        G = (X.T @ X).astype(np.float64)
+        G += self.reg_weight * np.eye(G.shape[0])
+        # one-shot offline solve: float64 on host (jnp's fp32 inverse loses
+        # ~3 decimal digits vs LAPACK here, enough to perturb rankings)
+        P = np.linalg.inv(G)
+        B = P / (-np.diag(P))
+        np.fill_diagonal(B, 0.0)
+        return {"inter": jnp.asarray(X),
+                "weight": jnp.asarray(B.astype(np.float32))}
 
     def init_params(self, rng):
         return {"inter": jnp.zeros((self.n_users, self.n_items), jnp.float32),

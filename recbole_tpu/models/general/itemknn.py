@@ -59,5 +59,8 @@ class ItemKNN(GeneralRecommender):
 
     def full_sort_predict(self, params, batch):
         u_rows = params["inter"][batch[self.USER_ID]]
-        return jnp.dot(u_rows, params["sim"],
+        # sim rows hold each item's OWN top-k neighbors; the reference's W
+        # stores those in columns (itemknn.py:139-147, X @ W), so the score
+        # contraction runs over sim's SECOND axis — sim.T here
+        return jnp.dot(u_rows, params["sim"].T,
                        preferred_element_type=jnp.float32)

@@ -2,8 +2,10 @@
 
 Parity target: fork NCF (recbole/model/general_recommender/ncf.py:10-100) —
 an MLP tower halving width per layer plus a GMF tower, joined by an affine
-output. NOTE: the fork's forward has a bug (gmf_item_embedding looked up with
-the USER ids, ncf.py:57); we implement the intended item lookup.
+output. NOTE: the fork's forward looks its gmf_item_embedding up with the
+USER ids (ncf.py:57) — a bug, but one its published behavior embeds, so we
+replicate it by default; set ncf_fix_gmf_item_lookup: True for the intended
+item lookup.
 """
 
 import jax
@@ -22,13 +24,15 @@ class NCF(GeneralRecommender):
     default_config = {"mlp_embedding_dimension": 128,
                       "gmf_embedding_dimension": 128,
                       "weight_decay": 1e-8, "mlp_n_layers": 3,
-                      "valid_metric": "Hit@10"}
+                      "valid_metric": "Hit@10",
+                      "ncf_fix_gmf_item_lookup": False}
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
         self.gmf_dim = config["gmf_embedding_dimension"]
         self.mlp_dim = config["mlp_embedding_dimension"]
         self.n_layers = config["mlp_n_layers"]
+        self.fix_gmf_item_lookup = bool(config["ncf_fix_gmf_item_lookup"])
         dims = [self.mlp_dim * 2]
         for _ in range(self.n_layers):
             dims.append(dims[-1] // 2)
@@ -55,7 +59,9 @@ class NCF(GeneralRecommender):
                 jnp.dot(x, layer["w"], preferred_element_type=jnp.float32)
                 + layer["b"])
         gu = params["gmf_user_embedding"][user]
-        gi = params["gmf_item_embedding"][item]
+        # reference quirk: item table indexed by USER ids (ncf.py:57)
+        gi = params["gmf_item_embedding"][
+            item if self.fix_gmf_item_lookup else user]
         joint = jnp.concatenate([x, gu * gi], -1)
         return jnp.dot(joint, params["out_w"],
                        preferred_element_type=jnp.float32)[:, 0] + params["out_b"][0]

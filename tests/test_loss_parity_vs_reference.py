@@ -1689,3 +1689,141 @@ def test_s3rec_loss_parity(synth_dataset_dir):
     our_ft = float(our_m.calculate_loss(params, _to_jnp(batch_np), rng=None))
     np.testing.assert_allclose(our_ft, ref_ft, rtol=2e-4,
                                err_msg="S3Rec finetune loss mismatch")
+
+
+def test_mfsimple_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            "user_bias": params["user_bias"],
+            "item_bias": params["item_bias"],
+            "bias": params["bias"],
+        })
+    _compare("MFSimple", synth_dataset_dir, mapper)
+
+
+def test_gmf_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        _load(ref_m, {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+            "w.weight": np.asarray(params["w"]).T,
+            "w.bias": params["b"],
+        })
+    _compare("GMF", synth_dataset_dir, mapper)
+
+
+def test_mlp_model_loss_parity(synth_dataset_dir):
+    def mapper(ref_m, params):
+        upd = {
+            "user_embedding.weight": params["user_embedding"],
+            "item_embedding.weight": params["item_embedding"],
+        }
+        n = len(params["mlp"])
+        for i, lyr in enumerate(params["mlp"]):
+            upd[f"fc_layers.{1 + 3 * i}.weight"] = np.asarray(lyr["w"]).T
+            upd[f"fc_layers.{1 + 3 * i}.bias"] = lyr["b"]
+        upd[f"fc_layers.{3 * n}.weight"] = np.asarray(params["out_w"]).T
+        upd[f"fc_layers.{3 * n}.bias"] = params["out_b"]
+        _load(ref_m, upd)
+    _compare("MLP", synth_dataset_dir, mapper, extra={"dropout": 0.0})
+
+
+def test_ncf_loss_parity(synth_dataset_dir):
+    """Includes the fork's gmf_item_embedding-by-USER lookup quirk
+    (ncf.py:57), replicated by our default ncf_fix_gmf_item_lookup=False."""
+    def mapper(ref_m, params):
+        upd = {
+            "mlp_user_embedding.weight": params["mlp_user_embedding"],
+            "mlp_item_embedding.weight": params["mlp_item_embedding"],
+            "gmf_user_embedding.weight": params["gmf_user_embedding"],
+            "gmf_item_embedding.weight": params["gmf_item_embedding"],
+            "affine_output.weight": np.asarray(params["out_w"]).T,
+            "affine_output.bias": params["out_b"],
+        }
+        for i, lyr in enumerate(params["mlp"]):
+            upd[f"mlp_fc_layers.{2 * i}.weight"] = np.asarray(lyr["w"]).T
+            upd[f"mlp_fc_layers.{2 * i}.bias"] = lyr["b"]
+        _load(ref_m, upd)
+    _compare("NCF", synth_dataset_dir, mapper)
+
+
+def _our_fit(our_m, model, data_path, extra=None):
+    """TRADITIONAL models build their 'params' from the train split via
+    fit_params (our TraditionalTrainer's flow)."""
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.data.utils import create_dataset, data_preparation
+    cfg = {**BASE_CFG, "data_path": data_path, **(extra or {})}
+    config = Config(model=model, dataset="synth", config_dict=cfg)
+    ds = create_dataset(config)
+    train, _, _ = data_preparation(config, ds)
+    return our_m.fit_params(jax.random.key(0, impl="rbg"), train)
+
+
+def test_ease_scores_parity(synth_dataset_dir):
+    """EASE closed-form: full-sort scores equal the reference's
+    X @ B with B = -P/diag(P), zero diagonal (ease.py:30-70)."""
+    _, rds, rtrain, ref_m = _ref_pipeline("EASE", synth_dataset_dir)
+    _, ods, our_m, params = _our_pipeline("EASE", synth_dataset_dir)
+    params = _our_fit(our_m, "EASE", synth_dataset_dir)
+    users = np.arange(1, min(rds.user_num, 40), dtype=np.int64)
+    from recbole.data.interaction import Interaction
+    inter = Interaction({ref_m.USER_ID: torch.tensor(users)})
+    with torch.no_grad():
+        ref_scores = ref_m.full_sort_predict(inter).numpy().reshape(
+            len(users), -1)
+    our_scores = np.asarray(our_m.full_sort_predict(
+        params, {our_m.USER_ID: jnp.asarray(users)}))
+    np.testing.assert_allclose(our_scores, ref_scores, rtol=2e-3, atol=2e-4,
+                               err_msg="EASE score mismatch")
+
+
+def test_pop_scores_parity(synth_dataset_dir):
+    """Pop: after one pass over the reference's train loader, normalized
+    popularity scores match our construction-time counts."""
+    # batch size 1, no negatives: the reference's index-assign increments
+    # an item ONCE PER BATCH (last-write-wins on duplicates) and counts
+    # sampled negatives too (pop.py:38-43) — at batch size 1 its counts
+    # reduce to true positive popularity, which is what we implement
+    extra = {"train_batch_size": 1, "training_neg_sample_num": 0}
+    _, rds, rtrain, ref_m = _ref_pipeline("Pop", synth_dataset_dir, extra)
+    _, ods, our_m, params = _our_pipeline("Pop", synth_dataset_dir, extra)
+    params = _our_fit(our_m, "Pop", synth_dataset_dir, extra)
+    with torch.no_grad():
+        for inter in rtrain:
+            ref_m.calculate_loss(inter)
+    users = np.arange(1, 10, dtype=np.int64)
+    from recbole.data.interaction import Interaction
+    inter = Interaction({ref_m.USER_ID: torch.tensor(users)})
+    with torch.no_grad():
+        ref_scores = ref_m.full_sort_predict(inter).numpy().reshape(
+            len(users), -1)
+    our_scores = np.asarray(our_m.full_sort_predict(
+        params, {our_m.USER_ID: jnp.asarray(users)}))
+    np.testing.assert_allclose(our_scores, ref_scores, rtol=2e-4, atol=1e-6,
+                               err_msg="Pop score mismatch")
+
+
+def test_itemknn_scores_parity(synth_dataset_dir):
+    """ItemKNN: shrink-regularized cosine + per-item top-k column pruning;
+    full-sort scores equal the reference's X @ W. k >= n_items so the
+    comparison is tie-independent (at small k, EQUAL-similarity neighbors at
+    the k-th boundary are chosen by argpartition order in the reference and
+    by lax.top_k order here)."""
+    extra = {"k": 200, "shrink": 0.5}
+    _, rds, rtrain, ref_m = _ref_pipeline("ItemKNN", synth_dataset_dir,
+                                          extra)
+    _, ods, our_m, params = _our_pipeline("ItemKNN", synth_dataset_dir,
+                                          extra)
+    params = _our_fit(our_m, "ItemKNN", synth_dataset_dir, extra)
+    users = np.arange(1, min(rds.user_num, 40), dtype=np.int64)
+    from recbole.data.interaction import Interaction
+    inter = Interaction({ref_m.USER_ID: torch.tensor(users)})
+    with torch.no_grad():
+        ref_scores = ref_m.full_sort_predict(inter).numpy().reshape(
+            len(users), -1)
+    our_scores = np.asarray(our_m.full_sort_predict(
+        params, {our_m.USER_ID: jnp.asarray(users)}))
+    np.testing.assert_allclose(our_scores, ref_scores, rtol=2e-4, atol=2e-6,
+                               err_msg="ItemKNN score mismatch")
