@@ -60,7 +60,9 @@ class RaCT(GeneralRecommender):
         ke, kd, kc = jax.random.split(rng, 3)
         params = {"encoder": mlp_init(ke, self.enc_dims, "xavier_normal"),
                   "decoder": mlp_init(kd, self.dec_dims, "xavier_normal"),
-                  "critic": mlp_init(kc, self.critic_dims, "xavier_normal")}
+                  "critic": mlp_init(kc, self.critic_dims, "xavier_normal"),
+                  # the reference critic's leading BatchNorm1d(3) affine
+                  "critic_bn_g": jnp.ones(3), "critic_bn_b": jnp.zeros(3)}
         if self.train_stage != "actor_pretrain" and self.pre_model_path:
             with open(self.pre_model_path, "rb") as fh:
                 state = pickle.load(fh)
@@ -85,7 +87,9 @@ class RaCT(GeneralRecommender):
             keep = jax.random.bernoulli(dk, 1.0 - self.drop_out, t.shape)
             h = jnp.where(keep, t, 0.0)  # unscaled dropout (ract.py:150)
         else:
-            h = t
+            # eval keeps the reference's odd (1-p) input scaling:
+            # F.dropout(training=False) is identity, then * (1 - drop_out)
+            h = t * (1.0 - self.drop_out)
         seen = jnp.sum((h != 0).astype(jnp.float32), axis=1)
         mask = (h > 0) & (t > 0)
         true_matrix = t * (~mask).astype(jnp.float32)
@@ -116,9 +120,12 @@ class RaCT(GeneralRecommender):
 
     def _critic(self, params, actor_loss, aux):
         feats = jnp.stack([aux["seen"], aux["unseen"], actor_loss], axis=1)
-        # in-batch standardization stands in for the reference's BatchNorm(3)
-        feats = (feats - jnp.mean(feats, 0, keepdims=True)) \
-            / (jnp.std(feats, 0, keepdims=True) + 1e-5)
+        # reference BatchNorm1d(3): batch statistics (torch train mode),
+        # sqrt(var + eps) denominator, trainable affine
+        mean = jnp.mean(feats, 0, keepdims=True)
+        var = jnp.var(feats, 0, keepdims=True)
+        feats = (feats - mean) / jnp.sqrt(var + 1e-5)
+        feats = feats * params["critic_bn_g"] + params["critic_bn_b"]
         y = self._mlp(params["critic"], feats, act=jax.nn.relu)
         return jax.nn.sigmoid(y[:, 0])
 
@@ -157,7 +164,9 @@ class RaCT(GeneralRecommender):
         # finetune: maximize the (frozen) critic's score of the actor loss
         _, ce, kl, aux = self._actor(params, x, rng)
         actor_loss = ce + self._anneal(batch) * kl
-        critic_p = {"critic": sg(params["critic"])}
+        critic_p = {"critic": sg(params["critic"]),
+                    "critic_bn_g": sg(params["critic_bn_g"]),
+                    "critic_bn_b": sg(params["critic_bn_b"])}
         y = self._critic({**params, **critic_p}, actor_loss, aux)
         return jnp.sum(-y * w) / wn
 

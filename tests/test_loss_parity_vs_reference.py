@@ -1827,3 +1827,71 @@ def test_itemknn_scores_parity(synth_dataset_dir):
         params, {our_m.USER_ID: jnp.asarray(users)}))
     np.testing.assert_allclose(our_scores, ref_scores, rtol=2e-4, atol=2e-6,
                                err_msg="ItemKNN score mismatch")
+
+
+def test_ract_loss_parity(synth_dataset_dir):
+    """RaCT all three stages (actor ELBO / critic NDCG regression with
+    batch-stat BatchNorm / critic-maximizing finetune) in torch train mode
+    with dropout zeroed and reparameterize pinned to mu."""
+    # metrics_k below n_items: the reference's calculate_ndcg cannot handle
+    # k > n_items (tp length mismatch, ract.py:186-196)
+    extra = {"dropout_prob": 0.0, "metrics_k": 50}
+    _, rds, ref_m = _ref_model_manual_split("RaCT", synth_dataset_dir, extra)
+    _, ods, our_m, params = _our_pipeline("RaCT", synth_dataset_dir, extra)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    upd = {"critic_net.0.weight": params["critic_bn_g"],
+           "critic_net.0.bias": params["critic_bn_b"]}
+    for name in ("encoder", "decoder"):
+        for i, lyr in enumerate(params[name]):
+            upd[f"{name}.{2 * i}.weight"] = np.asarray(lyr["w"]).T
+            upd[f"{name}.{2 * i}.bias"] = lyr["b"]
+    for i, lyr in enumerate(params["critic"]):
+        upd[f"critic_net.{1 + 2 * i}.weight"] = np.asarray(lyr["w"]).T
+        upd[f"critic_net.{1 + 2 * i}.bias"] = lyr["b"]
+    _load(ref_m, upd)
+    ref_m.train()
+    ref_m.reparameterize = lambda mu, logvar: mu
+    users = np.arange(1, rds.user_num, dtype=np.int64)
+    from recbole.data.interaction import Interaction
+    inter = Interaction({ref_m.USER_ID: torch.tensor(users)})
+    batch = {our_m.USER_ID: jnp.asarray(users)}
+    for step, stage in enumerate(
+            ("actor_pretrain", "critic_pretrain", "finetune"), start=1):
+        ref_m.train_stage = stage
+        our_m.train_stage = stage
+        with torch.no_grad():
+            ref_loss = float(ref_m.calculate_loss(inter))
+        our_loss = float(our_m.calculate_loss(
+            params, {**batch, "_step": jnp.int32(step)}, rng=None))
+        np.testing.assert_allclose(
+            our_loss, ref_loss, rtol=2e-4,
+            err_msg=f"RaCT {stage} loss mismatch")
+
+
+def test_slimelastic_objective_parity(synth_dataset_dir):
+    """SLIMElastic solves sklearn's per-column elastic-net problem with
+    on-device proximal gradient instead of coordinate descent; the oracle
+    check is the OBJECTIVE value (1/2n ||Xw-r||^2 + a*l1*|w|_1 +
+    a(1-l1)/2 ||w||^2): ours must be at least as good as the reference's
+    solution (both under the positive + hidden-item constraints)."""
+    _, rds, rtrain, ref_m = _ref_pipeline("SLIMElastic", synth_dataset_dir)
+    _, ods, our_m, params = _our_pipeline("SLIMElastic", synth_dataset_dir)
+    params = _our_fit(our_m, "SLIMElastic", synth_dataset_dir)
+    X = np.asarray(params["inter"], dtype=np.float64)
+    n = X.shape[0]
+    a, l1r = ref_m.alpha, ref_m.l1_ratio
+    W_ref = np.asarray(ref_m.item_similarity.todense(), dtype=np.float64)
+    W_our = np.asarray(params["weight"], dtype=np.float64)
+    assert (W_our >= -1e-9).all(), "positive_only violated"
+    assert np.abs(np.diag(W_our)).max() < 1e-9, "hide_item violated"
+
+    def objective(W):
+        resid = X @ W - X
+        return (np.sum(resid ** 2, axis=0) / (2 * n)
+                + a * l1r * np.sum(np.abs(W), axis=0)
+                + 0.5 * a * (1 - l1r) * np.sum(W ** 2, axis=0))
+
+    obj_ref = objective(W_ref).mean()
+    obj_our = objective(W_our).mean()
+    assert obj_our <= obj_ref * 1.001 + 1e-9, \
+        f"our elastic-net objective {obj_our} worse than sklearn {obj_ref}"
