@@ -26,7 +26,7 @@ class JOINTSR(JOINTSRMF):
 
     default_config = {**JOINTSRMF.default_config,
                       "ff_layers": [50, 25], "dropout": 0.2,
-                      "mlp_variant": "cat"}
+                      "mlp_variant": "mul"}  # fc_layers(mul(u, i)), jointsr.py:99-104
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
@@ -61,16 +61,27 @@ class JOINTSR(JOINTSRMF):
 
 @register_model("JOINTSRMLPSPARSE")
 class JOINTSRMLPSPARSE(JOINTSR):
+    """NOTE: the fork's jointsrmlpsparse.py:155 references an undefined
+    `indiceis` variable — the reference model cannot even construct; this
+    implements the evident intent (JOINTSR tower + sparse LM labels). LM
+    weight key is alpha_item (jointsrmlpsparse.py:25)."""
     lm_sparse = True
+    default_config = {**JOINTSR.default_config, "alpha_item": 1.0}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.alpha = config["alpha_item"]
 
 
 @register_model("JOINTSRUSERMF")
 class JOINTSRUSERMF(JOINTSRMF):
-    default_config = {**JOINTSRMF.default_config,
+    default_config = {**JOINTSRMF.default_config, "alpha_item": 1.0,
                       "alpha_user": 1.0, "user_description_fields": None}
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
+        # reference keys: alpha_item / alpha_user (jointsrusermf.py:24-25)
+        self.alpha = config["alpha_item"]
         self.alpha_user = config["alpha_user"]
         ufields = resolve_text_fields(dataset, dataset.user_feat,
                                       config["user_description_fields"])

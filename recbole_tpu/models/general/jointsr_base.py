@@ -62,7 +62,11 @@ class LMTargets:
     -1 padding; values are normalized to probabilities (jointsrmf.py:142-152).
     """
 
-    def __init__(self, dataset, table, text_fields, word2idx):
+    def __init__(self, dataset, table, text_fields, word2idx,
+                 length_offset=0):
+        """length_offset=1 reproduces JOINTSRMFFULL's off-by-one: its
+        lm_gt_len starts at torch.ones, so probabilities are divided by
+        (count + 1) (jointsrmffull.py:56-57)."""
         n = len(next(iter(table.values())))
         keys_t = [[] for _ in range(n)]
         vals_t = [[] for _ in range(n)]
@@ -91,7 +95,7 @@ class LMTargets:
             if k:
                 keys[r, :k] = keys_t[r]
                 vals[r, :k] = vals_t[r]
-        sums = vals.sum(1, keepdims=True)
+        sums = vals.sum(1, keepdims=True) + length_offset
         vals = np.divide(vals, sums, out=np.zeros_like(vals), where=sums > 0)
         self.keys = jnp.asarray(keys)
         self.values = jnp.asarray(vals)

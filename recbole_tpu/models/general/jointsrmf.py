@@ -30,7 +30,8 @@ class JOINTSRMF(GeneralRecommender):
                       "training_neg_sample_num": 8,
                       "learning_rate": 0.002, "weight_decay": 1e-8}
 
-    lm_sparse = False   # JOINTSRMFSPARSE overrides
+    lm_sparse = False       # JOINTSRMFSPARSE overrides
+    lm_length_offset = 0    # JOINTSRMFFULL overrides (its +1 length quirk)
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)
@@ -52,7 +53,8 @@ class JOINTSRMF(GeneralRecommender):
         self.word_embedding = self.register_const("word_embedding", vectors)   # frozen, not in params
         self.vocab_size = vectors.shape[0]
         word2idx = {w: i for i, w in enumerate(vocab)}
-        self.lm_gt = LMTargets(dataset, dataset.item_feat, fields, word2idx)
+        self.lm_gt = LMTargets(dataset, dataset.item_feat, fields, word2idx,
+                               length_offset=self.lm_length_offset)
 
     def init_params(self, rng):
         ku, ki = jax.random.split(rng)
@@ -74,14 +76,18 @@ class JOINTSRMF(GeneralRecommender):
         logits = jnp.dot(params["item_embedding"][item], self.word_embedding.T,
                          preferred_element_type=jnp.float32)
         if self.lm_sparse:
-            # soft CE restricted to the item's stored keys (sparse variant)
+            # the reference's SPARSE variants store labels sparsely but the
+            # soft-CE softmax still runs over the FULL vocabulary
+            # (jointsrmfsparse.py:180-195 densifies before
+            # SoftCrossEntropyLoss); same value here without materializing
+            # (B, V) targets: -Σ v_k logp[k] = logZ·Σv − Σ v_k logits[k]
             k = self.lm_gt.keys[item]
             v = self.lm_gt.values[item]
             ok = k >= 0
             sub = jnp.take_along_axis(logits, jnp.where(ok, k, 0), 1)
-            sub = jnp.where(ok, sub, -1e9)
-            logp = jax.nn.log_softmax(sub, -1)
-            per_row = -jnp.sum(v * logp, -1)
+            logz = jax.scipy.special.logsumexp(logits, axis=-1)
+            vs = jnp.where(ok, v, 0.0)
+            per_row = logz * jnp.sum(vs, -1) - jnp.sum(vs * sub, -1)
         else:
             tgt = self.lm_gt.dense_targets(item, self.vocab_size)
             logp = jax.nn.log_softmax(logits, -1)
@@ -112,16 +118,25 @@ class JOINTSRMF(GeneralRecommender):
 
 @register_model("JOINTSRMFFULL")
 class JOINTSRMFFULL(JOINTSRMF):
-    """Dense-vocabulary LM variant (fork jointsrmffull.py) — same math as
-    JOINTSRMF with the dense target path forced."""
+    """Dense-vocabulary LM variant (fork jointsrmffull.py): same math as
+    JOINTSRMF except its lm_gt_len starts at torch.ones, so targets are
+    divided by count+1 (jointsrmffull.py:56-57)."""
     lm_sparse = False
+    lm_length_offset = 1
 
 
 @register_model("JOINTSRMFSPARSE")
 class JOINTSRMFSPARSE(JOINTSRMF):
-    """Sparse-label LM variant (fork jointsrmfsparse.py): the soft CE runs
-    only over each item's stored vocabulary keys."""
+    """Sparse-LABEL variant (fork jointsrmfsparse.py): labels live in a
+    sparse tensor but the soft-CE softmax still spans the full vocabulary;
+    our lm_sparse path computes the identical value from the keys. The LM
+    weight is config alpha_item here (jointsrmfsparse.py:24), not alpha."""
     lm_sparse = True
+    default_config = {**JOINTSRMF.default_config, "alpha_item": 1.0}
+
+    def __init__(self, config, dataset):
+        super().__init__(config, dataset)
+        self.alpha = config["alpha_item"]
 
 
 @register_model("JOINTSRMFNEGS")

@@ -41,10 +41,36 @@ def load_reference():
         downloader = types.ModuleType("gensim.downloader")
 
         class _KeyedVectors:
-            pass
+            """Minimal word2vec-text-format reader: enough surface
+            (.vectors, .key_to_index) for the fork's JointSR loaders."""
+
+            def __init__(self, vocab, vectors):
+                import numpy as _np
+                self.vectors = _np.asarray(vectors, dtype=_np.float32)
+                self.key_to_index = {w: i for i, w in enumerate(vocab)}
+                # old-gensim surface (JOINTSR uses model.vocab[term].index)
+                _V = types.SimpleNamespace
+                self.vocab = {w: _V(index=i) for i, w in enumerate(vocab)}
+
+            @classmethod
+            def load_word2vec_format(cls, path):
+                vocab, vecs = [], []
+                with open(path, "r", encoding="utf-8") as fh:
+                    first = fh.readline().split()
+                    if len(first) != 2:  # headerless
+                        vocab.append(first[0])
+                        vecs.append([float(x) for x in first[1:]])
+                    for line in fh:
+                        parts = line.rstrip().split(" ")
+                        vocab.append(parts[0])
+                        vecs.append([float(x) for x in parts[1:]])
+                return cls(vocab, vecs)
 
         models.KeyedVectors = _KeyedVectors
-        downloader.load = lambda *a, **k: None
+        # tests point this at a synthetic vectors file
+        import os as _os
+        downloader.load = (lambda *a, **k:
+                           _os.environ.get("GENSIM_TEST_VECTORS"))
         gensim.models = models
         gensim.downloader = downloader
         sys.modules["gensim"] = gensim
@@ -55,7 +81,27 @@ def load_reference():
         torch_sparse = types.ModuleType("torch_sparse")
 
         class _SparseTensor:
-            pass
+            """Dense-backed stand-in implementing the slice/to_dense
+            surface the fork's JointSR sparse variants use."""
+
+            def __init__(self, row=None, col=None, value=None,
+                         sparse_sizes=None, _dense=None):
+                if _dense is not None:
+                    self._dense = _dense
+                    return
+                import torch as _t
+                dense = _t.zeros(sparse_sizes, dtype=_t.float32)
+                dense[row.long(), col.long()] = value.float()
+                self._dense = dense
+
+            def __getitem__(self, idx):
+                return _SparseTensor(_dense=self._dense[idx])
+
+            def to(self, *a, **k):
+                return self
+
+            def to_dense(self):
+                return self._dense
 
         torch_sparse.SparseTensor = _SparseTensor
         sys.modules["torch_sparse"] = torch_sparse

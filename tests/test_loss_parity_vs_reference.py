@@ -1895,3 +1895,184 @@ def test_slimelastic_objective_parity(synth_dataset_dir):
     obj_our = objective(W_our).mean()
     assert obj_our <= obj_ref * 1.001 + 1e-9, \
         f"our elastic-net objective {obj_our} worse than sklearn {obj_ref}"
+
+
+@pytest.fixture(scope="module")
+def jointsr_dataset_dir(tmp_path_factory):
+    """Synth dataset whose .item carries text columns at positions 3/4
+    (the reference JointSR loaders index raw file columns, jointsrmf.py:
+    60-66) plus a 16-dim word2vec-format vectors file."""
+    from tests.synth_data import make_synthetic_dataset
+    root = str(tmp_path_factory.mktemp("jsrdata"))
+    ds_dir = make_synthetic_dataset(root, name="synth")
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta"]
+    rng = np.random.RandomState(3)
+    with open(f"{ds_dir}/synth.item", "w") as fh:
+        fh.write("item_id:token\tgenre:token_seq\tprice:float\t"
+                 "description:token_seq\ttags:token_seq\n")
+        genres = ["action", "comedy", "drama", "scifi", "doc"]
+        for i in range(1, 81):
+            gs = " ".join(genres[(i + j) % 5] for j in range(1 + i % 3))
+            desc = " ".join(words[(i * 3 + j) % 8] for j in range(2 + i % 4))
+            tags = " ".join(words[(i * 5 + j) % 8] for j in range(1 + i % 2))
+            fh.write(f"i{i}\t{gs}\t{round(1.0 + (i % 10) * 0.5, 2)}\t"
+                     f"{desc}\t{tags}\n")
+    w2v = f"{root}/vectors.txt"
+    with open(w2v, "w") as fh:
+        fh.write(f"{len(words)} 16\n")
+        for w in words:
+            vec = " ".join(f"{v:.5f}" for v in rng.randn(16))
+            fh.write(f"{w} {vec}\n")
+    return root, w2v
+
+
+def test_jointsrmf_loss_parity(jointsr_dataset_dir, monkeypatch, tmp_path):
+    """JOINTSRMF (loss_rec BCE, alpha * soft-CE LM over frozen word
+    vectors): the reference loads its vectors through the gensim-stub
+    downloader pointed at our synthetic word2vec file and reads raw .item
+    columns 3/4; ours reads the same fields by name."""
+    import os
+    root, w2v = jointsr_dataset_dir
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "gensim_cache_path").write_text(str(tmp_path))
+    monkeypatch.setenv("GENSIM_TEST_VECTORS", w2v)
+    common = {"embedding_dimension": 16, "alpha": 0.7,
+              "load_col": {"inter": ["user_id", "item_id", "rating",
+                                     "timestamp"],
+                           "item": ["item_id", "genre", "price",
+                                    "description", "tags"]}}
+    ref_extra = {**common, "debug_variant": 1,
+                 "item_description_fields": ["item_description",
+                                             "item_genres"]}
+    our_extra = {**common, "item_text_fields": ["description", "tags"],
+                 "word_embedding_path": w2v}
+    _, rds, rtrain, ref_m = _ref_pipeline("JOINTSRMF", root, ref_extra)
+    _, ods, our_m, params = _our_pipeline("JOINTSRMF", root, our_extra)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    batch_np, inter = _first_ref_batch(rtrain)
+    _load(ref_m, {
+        "user_embedding.weight": params["user_embedding"],
+        "item_embedding.weight": params["item_embedding"],
+        "user_bias": params["user_bias"],
+        "item_bias": params["item_bias"],
+        "bias": params["bias"],
+        "word_embedding.weight": np.asarray(our_m.word_embedding.value),
+    })
+    with torch.no_grad():
+        ref_loss = _scalar(ref_m.calculate_loss(inter))
+    our_loss = _scalar(our_m.calculate_loss(params, _to_jnp(batch_np),
+                                            rng=None))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4,
+                               err_msg="JOINTSRMF loss mismatch")
+
+
+def _jointsr_pair(model, jointsr_dataset_dir, monkeypatch, tmp_path,
+                  ref_only=None, our_only=None, mapper_extra=None):
+    import os
+    root, w2v = jointsr_dataset_dir
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "gensim_cache_path").write_text(str(tmp_path))
+    monkeypatch.setenv("GENSIM_TEST_VECTORS", w2v)
+    common = {"embedding_dimension": 16, "alpha": 0.7,
+              "load_col": {"inter": ["user_id", "item_id", "rating",
+                                     "timestamp"],
+                           "item": ["item_id", "genre", "price",
+                                    "description", "tags"]}}
+    ref_extra = {**common, "debug_variant": 1,
+                 "item_description_fields": ["item_description",
+                                             "item_genres"],
+                 **(ref_only or {})}
+    our_extra = {**common, "item_text_fields": ["description", "tags"],
+                 "word_embedding_path": w2v, **(our_only or {})}
+    _, rds, rtrain, ref_m = _ref_pipeline(model, root, ref_extra)
+    _, ods, our_m, params = _our_pipeline(model, root, our_extra)
+    assert rds.user_num == ods.user_num and rds.item_num == ods.item_num
+    batch_np, inter = _first_ref_batch(rtrain)
+    upd = {
+        "user_embedding.weight": params["user_embedding"],
+        "item_embedding.weight": params["item_embedding"],
+        "word_embedding.weight": np.asarray(our_m.word_embedding.value),
+    }
+    if "user_bias" in params:
+        upd.update({"user_bias": params["user_bias"],
+                    "item_bias": params["item_bias"],
+                    "bias": params["bias"]})
+    if mapper_extra:
+        upd.update(mapper_extra(params))
+    # drop keys the reference model doesn't carry (e.g. JOINTSR has no biases)
+    sd = ref_m.state_dict()
+    upd = {k: v for k, v in upd.items() if k in sd}
+    _load(ref_m, upd)
+    with torch.no_grad():
+        ref_loss = _scalar(ref_m.calculate_loss(inter))
+    our_loss = _scalar(our_m.calculate_loss(params, _to_jnp(batch_np),
+                                            rng=None))
+    np.testing.assert_allclose(our_loss, ref_loss, rtol=2e-4,
+                               err_msg=f"{model} loss mismatch")
+
+
+def test_jointsrmffull_loss_parity(jointsr_dataset_dir, monkeypatch,
+                                   tmp_path):
+    """FULL variant: count+1 target normalization (lm_gt_len starts at
+    torch.ones, jointsrmffull.py:56-57)."""
+    _jointsr_pair("JOINTSRMFFULL", jointsr_dataset_dir, monkeypatch,
+                  tmp_path)
+
+
+def test_jointsrmfsparse_loss_parity(jointsr_dataset_dir, monkeypatch,
+                                     tmp_path):
+    """SPARSE variant: sparse label storage, full-vocab soft-CE."""
+    _jointsr_pair("JOINTSRMFSPARSE", jointsr_dataset_dir, monkeypatch,
+                  tmp_path)
+
+
+def test_jointsr_loss_parity(jointsr_dataset_dir, monkeypatch, tmp_path):
+    """JOINTSR: fc_layers(mul(u, i)) rec tower + LM loss. Its lm_gt comes
+    from remapped token_seq FIELDS (get_item_feature), so
+    item_description_fields carries real field names here."""
+    def mapper_extra(params):
+        upd = {}
+        n = len(params["mlp"])
+        for i, lyr in enumerate(params["mlp"]):
+            upd[f"fc_layers.{1 + 3 * i}.weight"] = np.asarray(lyr["w"]).T
+            upd[f"fc_layers.{1 + 3 * i}.bias"] = lyr["b"]
+        upd[f"fc_layers.{3 * n}.weight"] = np.asarray(params["out_w"]).T
+        upd[f"fc_layers.{3 * n}.bias"] = params["out_b"]
+        return upd
+    _jointsr_pair("JOINTSR", jointsr_dataset_dir, monkeypatch, tmp_path,
+                  ref_only={"item_description_fields": ["description",
+                                                        "tags"],
+                            "dropout": 0.0, "ff_layers": [32, 16]},
+                  our_only={"dropout": 0.0, "ff_layers": [32, 16],
+                            "mlp_variant": "mul"},
+                  mapper_extra=mapper_extra)
+
+
+def test_jointsrusermf_loss_parity(jointsr_dataset_dir, monkeypatch,
+                                   tmp_path):
+    """USERMF 3-tuple (rec, alpha_item*item LM, alpha_user*user LM). The
+    reference builds user LMs from raw .inter column 3 (reviews on its
+    datasets; timestamps here -> no in-vocab terms -> empty), and ours from
+    .user token_seq fields whose words are also out-of-vocab -> the user
+    part is zero on both sides while the item part is fully exercised."""
+    def mapper_extra(params):
+        return {}
+    _jointsr_pair(
+        "JOINTSRUSERMF", jointsr_dataset_dir, monkeypatch, tmp_path,
+        ref_only={"alpha_item": 0.9, "alpha_user": 0.4,
+                  "load_col": {"inter": ["user_id", "item_id", "rating",
+                                         "timestamp"],
+                               "item": ["item_id", "genre", "price",
+                                        "description", "tags"],
+                               "user": ["user_id", "age", "gender",
+                                        "interests"]}},
+        our_only={"alpha_item": 0.9, "alpha_user": 0.4,
+                  "user_description_fields": ["interests"],
+                  "load_col": {"inter": ["user_id", "item_id", "rating",
+                                         "timestamp"],
+                               "item": ["item_id", "genre", "price",
+                                        "description", "tags"],
+                               "user": ["user_id", "age", "gender",
+                                        "interests"]}},
+        mapper_extra=mapper_extra)
