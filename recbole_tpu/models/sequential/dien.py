@@ -184,11 +184,29 @@ class DIEN(SequentialRecommender):
         logits, *_ = self._logits(params, batch, batch[self.ITEM_ID])
         return jax.nn.sigmoid(logits)
 
+    # per-pair GRU+AUGRU over the full history: bound pairs alive at once
+    # (see DIN.score_items)
+    score_pair_block = 4096
+
     def score_items(self, params, batch, items):
         B, C = items.shape
-        rep = {self.ITEM_SEQ: jnp.repeat(batch[self.ITEM_SEQ], C, axis=0),
-               self.ITEM_SEQ_LEN: jnp.repeat(batch[self.ITEM_SEQ_LEN], C,
-                                             axis=0),
-               self.USER_ID: jnp.repeat(batch[self.USER_ID], C, axis=0)}
-        logits, *_ = self._logits(params, rep, items.reshape(-1))
-        return logits.reshape(B, C)
+        seq = batch[self.ITEM_SEQ]
+        seq_len = batch[self.ITEM_SEQ_LEN]
+        user = batch[self.USER_ID]
+        rows = jnp.repeat(jnp.arange(B), C)
+        flat_i = items.reshape(-1)
+        P = B * C
+        pb = int(self.score_pair_block)
+        n_pb = -(-P // pb)
+        rows = jnp.pad(rows, (0, n_pb * pb - P))
+        flat_i = jnp.pad(flat_i, (0, n_pb * pb - P))
+
+        def block(uv):
+            r, it = uv
+            sub = {self.ITEM_SEQ: seq[r], self.ITEM_SEQ_LEN: seq_len[r],
+                   self.USER_ID: user[r]}
+            return self._logits(params, sub, it)[0]
+
+        out = jax.lax.map(block, (rows.reshape(n_pb, pb),
+                                  flat_i.reshape(n_pb, pb)))
+        return out.reshape(-1)[:P].reshape(B, C)

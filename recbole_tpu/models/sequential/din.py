@@ -114,10 +114,29 @@ class DIN(SequentialRecommender):
     def predict(self, params, batch):
         return jax.nn.sigmoid(self._logits(params, batch, batch[self.ITEM_ID]))
 
+    # every (seq, candidate) pair drags the full history through the
+    # attention + Dice MLP — bound the pairs alive at once so catalog-scale
+    # eval doesn't materialize (B * n_items, L, H) (the 512MB-score-matrix
+    # eval batch sizing assumes cheap per-pair scoring)
+    score_pair_block = 8192
+
     def score_items(self, params, batch, items):
         B, C = items.shape
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
-        rep = {self.ITEM_SEQ: jnp.repeat(seq, C, axis=0),
-               self.ITEM_SEQ_LEN: jnp.repeat(seq_len, C, axis=0)}
-        return self._logits(params, rep, items.reshape(-1)).reshape(B, C)
+        rows = jnp.repeat(jnp.arange(B), C)
+        flat_i = items.reshape(-1)
+        P = B * C
+        pb = int(self.score_pair_block)
+        n_pb = -(-P // pb)
+        rows = jnp.pad(rows, (0, n_pb * pb - P))
+        flat_i = jnp.pad(flat_i, (0, n_pb * pb - P))
+
+        def block(uv):
+            r, it = uv
+            sub = {self.ITEM_SEQ: seq[r], self.ITEM_SEQ_LEN: seq_len[r]}
+            return self._logits(params, sub, it)
+
+        out = jax.lax.map(block, (rows.reshape(n_pb, pb),
+                                  flat_i.reshape(n_pb, pb)))
+        return out.reshape(-1)[:P].reshape(B, C)
