@@ -228,3 +228,56 @@ def test_bipartite_prop_dense_matches_sparse():
     np.testing.assert_allclose(np.asarray(dense(dense.init_consts(), x)),
                                np.asarray(sparse(sparse.init_consts(), x)),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_transformer_layer_matches_xla():
+    """Pallas fused transformer LAYER (interpret mode) == the XLA
+    transformer_apply single layer: forward, dx, and every parameter grad
+    (dropout 0 — the PRNG path is TPU-only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from recbole_tpu.models.layers import transformer_init, transformer_apply
+    from recbole_tpu.ops.fused_transformer import (fused_transformer_layer,
+                                                   PARAM_KEYS)
+
+    B, L, D, H, inner = 8, 10, 16, 2, 32
+    rng = np.random.RandomState(0)
+    params = transformer_init(jax.random.key(1, impl="rbg"), 1, H, D, inner)
+    lyr = params[0]
+    x = jnp.asarray(rng.randn(B, L, D).astype(np.float32))
+    seq_len = jnp.asarray(rng.randint(1, L + 1, (B,), dtype=np.int32))
+    key_valid = (jnp.arange(L)[None, :] < seq_len[:, None]).astype(jnp.int32)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    for causal, act in ((True, "gelu"), (False, "relu"), (True, "swish")):
+        ref = transformer_apply(params, x, None, H, act=act,
+                                mask_spec=(key_valid, causal), fused=False)
+        out = fused_transformer_layer(x, lyr, key_valid, seed, n_heads=H,
+                                      causal=causal, act=act,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        # grads: scalar loss over real positions
+        w = key_valid.astype(jnp.float32)[..., None]
+
+        def loss_ref(x_, lp):
+            h = transformer_apply([lp], x_, None, H, act=act,
+                                  mask_spec=(key_valid, causal), fused=False)
+            return jnp.sum(h * h * w)
+
+        def loss_fused(x_, lp):
+            h = fused_transformer_layer(x_, lp, key_valid, seed, n_heads=H,
+                                        causal=causal, act=act,
+                                        interpret=True)
+            return jnp.sum(h * h * w)
+
+        gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, lyr)
+        gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, lyr)
+        np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                                   rtol=2e-4, atol=2e-4)
+        for k in PARAM_KEYS:
+            np.testing.assert_allclose(
+                np.asarray(gp_f[k]), np.asarray(gp_r[k]), rtol=2e-4,
+                atol=2e-4, err_msg=f"param grad {k} ({causal}, {act})")
