@@ -41,12 +41,15 @@ def test_fused_attention_matches_xla():
     lens = rng.randint(1, L + 1, B)
     valid = jnp.asarray((np.arange(L)[None] < lens[:, None]).astype(np.int32))
     seed = jnp.zeros((1,), jnp.int32)
+    # on a real TPU backend the XLA side's fp32 matmuls take multi-pass
+    # bf16 (~1e-6 per op, exp-amplified); interpret-vs-XLA on CPU is exact
+    tol = 1e-5 if jax.default_backend() != "tpu" else 5e-4
     for causal in (True, False):
         o1 = fused_attention(q, k, v, valid, seed, causal=causal,
                              interpret=True)
         o2 = attention_xla(q, k, v, valid, causal=causal)
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=tol, atol=tol)
         g1 = jax.grad(lambda a, b, c: jnp.sum(jnp.sin(
             fused_attention(a, b, c, valid, seed, causal=causal,
                             interpret=True))), argnums=(0, 1, 2))(q, k, v)
@@ -225,9 +228,15 @@ def test_bipartite_prop_dense_matches_sparse():
     sparse = BipartiteProp(mat, n_u, n_i, dense_budget=1)
     assert dense.dense and not sparse.dense
     x = jnp.asarray(rng.randn(n_u + n_i, 16).astype(np.float32))
+    import jax
+    # the dense path's matmul runs at TPU default precision (one-pass
+    # bf16, ~0.4% — the deliberate speed trade-off behind the GCMC/DGCF
+    # wins; quality parity is pinned end-to-end in PARITY.md) while the
+    # edge path accumulates in fp32
+    tol = 2e-4 if jax.default_backend() != "tpu" else 2e-2
     np.testing.assert_allclose(np.asarray(dense(dense.init_consts(), x)),
                                np.asarray(sparse(sparse.init_consts(), x)),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=tol, atol=tol)
 
 
 def test_fused_transformer_layer_matches_xla():
