@@ -54,6 +54,25 @@ def run_recbole(model=None, dataset=None, config_file_list=None, config_dict=Non
     }
 
 
+def cli_main():
+    """Console-script entry point (``recbole-tpu``) — same surface as run.py,
+    including the fork's ``--alpha`` passthrough (reference run_recbole.py:21-29)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="recbole-tpu")
+    parser.add_argument("--model", "-m", type=str, default="BPR")
+    parser.add_argument("--dataset", "-d", type=str, default="ml-100k")
+    parser.add_argument("--config_files", type=str, default=None)
+    parser.add_argument("--alpha", type=str, default=None)
+    args, _ = parser.parse_known_args()
+
+    config_file_list = args.config_files.strip().split(" ") if args.config_files else None
+    config_dict = {"alpha": float(args.alpha)} if args.alpha else None
+    run_recbole(model=args.model, dataset=args.dataset,
+                config_file_list=config_file_list, config_dict=config_dict,
+                _parse_cmd_line=True)
+
+
 def objective_function(config_dict=None, config_file_list=None, saved=True):
     config = Config(config_file_list=config_file_list, config_dict=config_dict,
                     _parse_cmd_line=False)
