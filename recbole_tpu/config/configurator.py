@@ -156,11 +156,19 @@ class Config:
     @staticmethod
     def _load_cmd_line():
         args = {}
+        unrecognized = []
         for arg in sys.argv[1:]:
             if not arg.startswith("--") or "=" not in arg:
+                if arg != sys.argv[0]:
+                    unrecognized.append(arg)
                 continue
             key, val = arg[2:].split("=", 1)
             args[key] = _coerce(val)
+        if unrecognized:
+            # parity: reference warns on non --k=v args (configurator.py:145-163)
+            import warnings
+            warnings.warn("command line args [%s] will not be used"
+                          % " ".join(unrecognized))
         return args
 
     def _external(self, key):
