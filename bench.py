@@ -49,13 +49,14 @@ def main():
     from recbole_tpu.models import get_model
     from recbole_tpu.trainer.trainer import get_trainer
     from recbole_tpu.utils.enums import FeatureType, FeatureSource
-    from recbole_tpu.utils.utils import init_seed
+    from recbole_tpu.utils.utils import init_seed, init_jax
 
     config = Config("BPR", "ml-1m-synth", config_dict={
         "epochs": 1, "state": "ERROR", "valid_full_to_uni1000": False,
         "data_path": "/tmp", "checkpoint_dir": "/tmp/recbole_tpu_bench_saved",
         "log_dir": "/tmp/recbole_tpu_bench_log",
     }, _parse_cmd_line=False)
+    init_jax(config)
     init_seed(config["seed"])
 
     uids, iids, ts = synth_ml1m(CACHE)

@@ -139,6 +139,8 @@ def bench_model(model, data_path, epochs=3):
         "load_col": load_col,
         "MAX_ITEM_LIST_LENGTH": 50, **extra,
     }, _parse_cmd_line=False)
+    from recbole_tpu.utils.utils import init_jax
+    init_jax(cfg)
     ds = create_dataset(cfg)
     train, valid, test = data_preparation(cfg, ds)
     m = get_model(model)(cfg, train.dataset)
