@@ -19,12 +19,35 @@ from ..utils.enums import ModelType
 from ..utils.logger import get_logger
 
 
+# name-keyed Dataset overrides: <Model> -> Dataset subclass (parity:
+# reference customized_dataset.py:17-26 + data/utils.py:36-38, where a class
+# named `<Model>Dataset` is auto-selected for that model). The trainer half of
+# this extension surface is trainer.register_trainer.
+DATASET_REGISTRY = {}
+
+
+def register_dataset(model_name):
+    def deco(cls):
+        DATASET_REGISTRY[model_name] = cls
+        return cls
+    return deco
+
+
+def _register_builtin_datasets():
+    from .kg_seq_dataset import KGSeqDataset
+    # KG-enhanced sequential models need the diamond dataset
+    # (reference kg_seq_dataset.py / customized_dataset.py)
+    DATASET_REGISTRY.setdefault("GRU4RecKG", KGSeqDataset)
+    DATASET_REGISTRY.setdefault("KSR", KGSeqDataset)
+
+
 def create_dataset(config):
-    """Pick the Dataset subclass by model type (parity: data/utils.py:27-55)."""
+    """Pick the Dataset subclass: model-name registry override first, then
+    model type (parity: data/utils.py:27-55)."""
     model_type = config["MODEL_TYPE"]
-    if config["model"] in ("GRU4RecKG", "KSR"):
-        from .kg_seq_dataset import KGSeqDataset
-        return KGSeqDataset(config)
+    _register_builtin_datasets()
+    if config["model"] in DATASET_REGISTRY:
+        return DATASET_REGISTRY[config["model"]](config)
     if model_type is ModelType.SEQUENTIAL:
         from .seq_dataset import SequentialDataset
         return SequentialDataset(config)

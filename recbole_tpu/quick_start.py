@@ -37,6 +37,10 @@ def run_recbole(model=None, dataset=None, config_file_list=None, config_dict=Non
             best_valid_score, best_valid_result = trainer.fit(
                 train_data, valid_data, saved=saved,
                 show_progress=config["show_progress"])
+        # parity with the fork's printed key-averages table
+        # (reference quick_start.py:57-61)
+        logger.info("profiled run summary (trace: %s):\n%s",
+                    profile_dir, trainer.timing_summary())
     else:
         best_valid_score, best_valid_result = trainer.fit(
             train_data, valid_data, saved=saved,

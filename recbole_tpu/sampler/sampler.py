@@ -46,10 +46,33 @@ class PhaseHistory:
             self.hist_len[phase] = lens
             # popularity distribution = observed item multiset (sampler.py:191-204)
             self.pop_items[phase] = i.astype(np.int32)
+            self._acc_pairs = getattr(self, "_acc_pairs", {})
+            self._acc_pairs[phase] = (u, i)
 
     def device_tables(self, phase):
         return (jnp.asarray(self.history[phase]),
                 jnp.asarray(self.hist_len[phase]))
+
+    def assert_sampleable(self, phase):
+        """Raise when some user has interacted with every item — masked
+        resampling would silently return a known positive for them (parity:
+        reference raises at used-ids construction, sampler.py:220-226).
+        Only called on non-repeatable sampling paths; sequential models
+        (RepeatableSampler semantics) never exclude history."""
+        u, i = self._acc_pairs[phase]
+        # count DISTINCT items per user (duplicate interactions are kept by
+        # default, so raw history length over-counts)
+        pairs = np.unique(u.astype(np.int64) * self.n_items + i)
+        distinct = np.bincount(pairs // self.n_items,
+                               minlength=self.n_users)
+        # n_items includes the [PAD] id 0, which is never a candidate
+        dense = np.flatnonzero(distinct >= self.n_items - 1)
+        if dense.size:
+            raise ValueError(
+                f"{dense.size} user(s) (e.g. ids {dense[:5].tolist()}) have "
+                f"interacted with all {self.n_items - 1} items; negative "
+                f"sampling cannot exclude their history. Use repeatable "
+                f"sampling or reduce filtering.")
 
 
 def _build_history(uids, iids, n_users, max_len=None):

@@ -84,12 +84,17 @@ class Trainer:
         self.best_valid_score = None
         self.best_valid_result = None
         self.start_epoch = 0
+        self.cur_step = 0
         self.global_step = 0
         self.params = None
         self.opt_state = None
         self.train_loss_dict = {}
         self._modes = {}
         self._eval_step_cache = {}
+        # wall-clock per phase, for the profiled-run summary (parity: the
+        # fork prints a profiler key-averages table, quick_start.py:57-61)
+        self.epoch_times = []
+        self.eval_times = []
 
         # optional multi-chip sharding (no reference equivalent; SURVEY.md §2.10)
         self.plan = None
@@ -174,6 +179,8 @@ class Trainer:
         # sequential models sample without used-id exclusion — items may repeat
         # in a history (parity: RepeatableSampler, sampler.py:341-420)
         repeatable = model.type is ModelType.SEQUENTIAL
+        if k > 0 and not repeatable and not cfg["train_use_dataset_negatives"]:
+            train_data.phase_history.assert_sampleable("train")
         transform = getattr(train_data, "device_transform", None)
         # device tables ride in the consts argument, NOT jit closures —
         # multi-MB XLA literals compile pathologically slowly (85s vs <1s
@@ -480,7 +487,7 @@ class Trainer:
         if saved and self.start_epoch >= self.epochs:
             self._save_checkpoint(-1)
 
-        best_score, cur_step = self.best_valid_score, 0
+        best_score, cur_step = self.best_valid_score, self.cur_step
         stop_flag = False
         for epoch_idx in range(self.start_epoch, self.epochs):
             t0 = time.time()
@@ -488,6 +495,7 @@ class Trainer:
             self.train_loss_dict[epoch_idx] = (
                 sum(train_loss) if isinstance(train_loss, tuple) else train_loss)
             t1 = time.time()
+            self.epoch_times.append(t1 - t0)
             if verbose:
                 loss_str = (", ".join(f"{l:.4f}" for l in train_loss)
                             if isinstance(train_loss, tuple) else f"{train_loss:.4f}")
@@ -504,7 +512,9 @@ class Trainer:
             best_score, cur_step, stop_flag, update_flag = early_stopping(
                 valid_score, best_score, cur_step, self.stopping_step,
                 bigger=self.valid_metric_bigger)
+            self.cur_step = cur_step
             t2 = time.time()
+            self.eval_times.append(t2 - t1)
             if verbose:
                 self.logger.info("epoch %d evaluating [time: %.2fs, valid_score: %f]",
                                  epoch_idx, t2 - t1, valid_score)
@@ -528,6 +538,26 @@ class Trainer:
             self.plot_train_loss(
                 save_path=self.saved_model_file.replace(".ckpt", ".pdf"))
         return self.best_valid_score, self.best_valid_result
+
+    def timing_summary(self):
+        """Human-readable per-phase wall-clock table for profiled runs
+        (parity: the fork's printed key-averages table,
+        quick_start.py:57-61). First epoch includes jit compilation; the
+        steady-state row is the honest throughput figure."""
+        lines = ["phase                    count      total s     mean s",
+                 "-" * 56]
+
+        def row(name, times):
+            if not times:
+                return
+            lines.append(f"{name:<24} {len(times):>5} {sum(times):>12.3f} "
+                         f"{sum(times) / len(times):>10.3f}")
+
+        row("train epoch (all)", self.epoch_times)
+        row("train epoch (1st=jit)", self.epoch_times[:1])
+        row("train epoch (steady)", self.epoch_times[1:])
+        row("validation", self.eval_times)
+        return "\n".join(lines)
 
     def plot_train_loss(self, show=False, save_path=None):
         """Training-loss curve (parity: reference plot_train_loss,
@@ -555,6 +585,8 @@ class Trainer:
         state = {
             "config": dict(self.config.final),
             "epoch": epoch,
+            "cur_step": self.cur_step,
+            "train_loss_dict": dict(self.train_loss_dict),
             "best_valid_score": self.best_valid_score,
             "params": jax.tree.map(np.asarray, self.params),
             "opt_state": jax.tree.map(
@@ -569,6 +601,10 @@ class Trainer:
         with open(resume_file, "rb") as fh:
             state = pickle.load(fh)
         self.start_epoch = state["epoch"] + 1
+        # early-stopping patience + loss curve survive a resume (parity:
+        # reference persists cur_step, trainer.py:191-232)
+        self.cur_step = state.get("cur_step", 0)
+        self.train_loss_dict = dict(state.get("train_loss_dict", {}))
         self.best_valid_score = state["best_valid_score"]
         self.params = jax.tree.map(jnp.asarray, state["params"])
         self.opt_state = jax.tree.map(
@@ -730,6 +766,8 @@ class Trainer:
         s_hist, s_hlen = eval_data.phase_history.device_tables(
             eval_data.sample_phase)
         n_items = eval_data.n_items
+        if not getattr(eval_data, "repeatable_sampling", False):
+            eval_data.phase_history.assert_sampleable(eval_data.sample_phase)
         P = eval_data.max_pos
         k = eval_data.neg_k
         rounds = cfg["neg_sampling_resample_rounds"]
@@ -882,7 +920,14 @@ class Trainer:
 
         sampled = hasattr(eval_data, "neg_k")
         labeled = hasattr(eval_data, "neg_items")
-        key = (id(eval_data), metrics, max_k, needs_gauc,
+        # stable cache token held BY the trainer: id() recycles after GC, so
+        # two sequentially-created loaders could alias a stale jitted step
+        # with the wrong closure constants
+        token = getattr(eval_data, "_trainer_cache_token", None)
+        if token is None or token[0] is not self:
+            token = (self, len(self._eval_step_cache))
+            eval_data._trainer_cache_token = token
+        key = (token[1], metrics, max_k, needs_gauc,
                type(eval_data).__name__)
         if key not in self._eval_step_cache:
             if labeled:

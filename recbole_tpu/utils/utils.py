@@ -39,6 +39,10 @@ def init_seed(seed: int, reproducibility: bool = True) -> None:
 def early_stopping(value, best, cur_step, max_step, bigger=True):
     """One step of patience-based early stopping.
 
+    Improvement is STRICT (parity: reference utils.py:123 uses ``value > best``)
+    — a plateaued metric consumes patience instead of resetting it and does not
+    trigger a re-checkpoint.
+
     Returns (best, cur_step, stop_flag, update_flag).
     """
     stop_flag = False
@@ -46,7 +50,7 @@ def early_stopping(value, best, cur_step, max_step, bigger=True):
     if best is None:
         improved = True
     else:
-        improved = (value >= best) if bigger else (value <= best)
+        improved = (value > best) if bigger else (value < best)
     if improved:
         best = value
         cur_step = 0
