@@ -38,7 +38,9 @@ TRAINING_DEFAULTS = {
     "draw_loss_pic": False,
     # --- TPU-native additions ---
     "param_dtype": "float32",       # master params
-    "compute_dtype": "float32",     # set "bfloat16" for MXU-friendly towers
+    # "auto": bfloat16 towers on TPU for MXU-heavy families (sequential),
+    # float32 elsewhere/off-TPU; set explicitly to force either
+    "compute_dtype": "auto",
     "neg_sampling_resample_rounds": 8,  # bounded device-side rejection rounds
     # 'rbg' uses the TPU hardware RNG path (threefry compiles pathologically
     # slowly on TPU); set 'threefry2x32' for cross-backend bit-exactness
@@ -147,6 +149,15 @@ PARALLEL_DEFAULTS = {
     "mesh_shape": None,          # e.g. {"data": 4, "model": 2}; None = single device
     "shard_item_embeddings": False,
     "shard_full_sort": True,     # shard full-sort scoring over the item axis
+    # multi-host bootstrap (jax.distributed). On TPU pod slices leave the
+    # coordinator unset and flip distributed_auto_init: True — jax
+    # auto-detects the coordinator/process topology from the TPU runtime.
+    # For explicit topologies (incl. multi-process CPU simulation) set all
+    # three keys; every process must run the same program.
+    "distributed_auto_init": False,
+    "distributed_coordinator": None,   # "host0:1234"
+    "distributed_num_processes": None,
+    "distributed_process_id": None,
 }
 
 DEFAULTS = {

@@ -96,9 +96,21 @@ class AbstractRecommender:
                 params[k] = params[k].at[0].set(0.0)
         return params
 
+    # "auto" compute_dtype resolution per model family: conservative fp32
+    # for the base; MXU-heavy families (sequential towers) override to
+    # bfloat16 on TPU. Explicit config values always win.
+    _auto_compute_dtype = "float32"
+
     def __init__(self, config, dataset):
         self.config = config
-        self.compute_dtype = jnp.dtype(config["compute_dtype"] or "float32")
+        dtype = config["compute_dtype"] or "auto"
+        if str(dtype).lower() == "auto":
+            dtype = self._auto_compute_dtype
+            if dtype != "float32":
+                import jax as _jax
+                if _jax.default_backend() not in ("tpu", "axon"):
+                    dtype = "float32"  # bit-exact parity off-TPU
+        self.compute_dtype = jnp.dtype(dtype)
         # None when fp32 so layers skip the cast entirely (see layers.dot_c)
         self.cdt = (None if self.compute_dtype == jnp.float32
                     else self.compute_dtype)
@@ -239,6 +251,12 @@ class GeneralRecommender(AbstractRecommender):
 
 class SequentialRecommender(AbstractRecommender):
     type = ModelType.SEQUENTIAL
+    # transformer/GRU towers run bfloat16 on the MXU by default (fp32
+    # accumulation everywhere via preferred_element_type; embeddings, layer
+    # norms and losses stay fp32). A/B metric parity is gated by
+    # tests/test_aux.py::test_seq_bf16_training_matches_f32 and the PARITY.md
+    # quality A/B rows. Set compute_dtype: float32 to opt out.
+    _auto_compute_dtype = "bfloat16"
 
     def __init__(self, config, dataset):
         super().__init__(config, dataset)

@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 
 from ..base import GeneralRecommender
-from ..layers import normal_init, mlp_init, xavier_uniform, dropout_apply
+from ..layers import (normal_init, mlp_init, dropout_apply,
+                      torch_linear_uniform, torch_linear_bias)
 from ..losses import bce_loss
 from ...utils.enums import InputType
 from .. import register_model
@@ -39,16 +40,19 @@ class NeuMF(GeneralRecommender):
         self.out_in = out_in
 
     def init_params(self, rng):
-        ks = jax.random.split(rng, 6)
+        # embeddings normal(0, 0.01); Linear layers keep torch DEFAULT init
+        # (the reference's _init_weights, neumf.py:101-103, only re-inits
+        # Embeddings — kaiming-uniform Linears + uniform biases remain)
+        ks = jax.random.split(rng, 7)
         return {
             "mf_user_embedding": normal_init(ks[0], (self.n_users, self.mf_dim)),
             "mf_item_embedding": normal_init(ks[1], (self.n_items, self.mf_dim)),
             "mlp_user_embedding": normal_init(ks[2], (self.n_users, self.mlp_dim)),
             "mlp_item_embedding": normal_init(ks[3], (self.n_items, self.mlp_dim)),
             "mlp": mlp_init(ks[4], [self.mlp_dim * 2] + self.mlp_hidden,
-                            "xavier_uniform"),
-            "out_w": xavier_uniform(ks[5], (self.out_in, 1)),
-            "out_b": jnp.zeros(1),
+                            "torch_linear"),
+            "out_w": torch_linear_uniform(ks[5], (self.out_in, 1)),
+            "out_b": torch_linear_bias(ks[6], self.out_in, 1),
         }
 
     def _logits(self, params, user, item, rng=None):

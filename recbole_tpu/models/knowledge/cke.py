@@ -35,8 +35,14 @@ class CKE(KnowledgeRecommender):
             "item_embedding": xavier_normal(ks[1], (self.n_items, self.embedding_size)),
             "entity_embedding": xavier_normal(ks[2], (self.n_entities, self.embedding_size)),
             "relation_embedding": xavier_normal(ks[3], (self.n_relations, self.kg_embedding_size)),
+            # the reference stores trans_w as a 2-D (n_rel, D*Dk) Embedding
+            # (cke.py:48) — xavier fans must be computed on THAT shape
+            # (std = sqrt(2/(n_rel + D*Dk))), then reshaped
             "trans_w": xavier_normal(
-                ks[4], (self.n_relations, self.embedding_size, self.kg_embedding_size)),
+                ks[4], (self.n_relations,
+                        self.embedding_size * self.kg_embedding_size)
+            ).reshape(self.n_relations, self.embedding_size,
+                      self.kg_embedding_size),
         }
 
     @staticmethod

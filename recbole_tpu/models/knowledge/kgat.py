@@ -138,7 +138,11 @@ class KGAT(KnowledgeRecommender):
             "user_embedding": xavier_normal(ks[0], (self.n_users, D)),
             "entity_embedding": xavier_normal(ks[1], (self.n_entities, D)),
             "relation_embedding": xavier_normal(ks[2], (self.n_relations, Dk)),
-            "trans_w": xavier_normal(ks[3], (self.n_relations, D, Dk)),
+            # reference stores trans_w as a 2-D (n_rel, D*Dk) Embedding
+            # (kgat.py:107) — xavier fans computed on that shape, then reshaped
+            "trans_w": xavier_normal(
+                ks[3], (self.n_relations, D * Dk)).reshape(
+                self.n_relations, D, Dk),
             # start from the plain row-normalized adjacency (reference inits A
             # from norm adj before the first update_attentive_A)
             "edge_attention": self._init_attention(),

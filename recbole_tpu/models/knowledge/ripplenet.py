@@ -84,9 +84,12 @@ class RippleNet(KnowledgeRecommender):
         D = self.embedding_size
         return {
             "entity_embedding": xavier_normal(ks[0], (self.n_entities, D)),
-            # relations as (D, D) matrices (reference uses D*D relation emb)
-            "relation_embedding": xavier_normal(ks[1],
-                                                (self.n_relations, D, D)),
+            # relations as (D, D) matrices; the reference stores a 2-D
+            # (n_rel, D*D) Embedding (ripplenet.py:72), so xavier fans are
+            # computed on that shape and then reshaped
+            "relation_embedding": xavier_normal(
+                ks[1], (self.n_relations, D * D)
+            ).reshape(self.n_relations, D, D),
             "transform": xavier_normal(ks[2], (D, D)),
         }
 

@@ -41,10 +41,28 @@ def _fans(shape):
     return shape[1] * receptive, shape[0] * receptive
 
 
+def torch_linear_uniform(rng, shape, dtype=jnp.float32):
+    """torch nn.Linear's DEFAULT weight init — kaiming_uniform(a=sqrt(5)),
+    which reduces to U(±1/sqrt(fan_in)). Our weights are stored (in, out),
+    so fan_in = shape[0]. Models whose reference counterpart leaves Linear
+    layers at torch defaults (e.g. NeuMF, neumf.py:101-103 only re-inits
+    Embeddings) must use this, not xavier — the 2x scale difference moves
+    the training trajectory measurably."""
+    limit = 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(rng, shape, dtype, -limit, limit)
+
+
+def torch_linear_bias(rng, fan_in, out_dim, dtype=jnp.float32):
+    """torch nn.Linear default bias init: U(±1/sqrt(fan_in))."""
+    limit = 1.0 / math.sqrt(fan_in)
+    return jax.random.uniform(rng, (out_dim,), dtype, -limit, limit)
+
+
 INITIALIZERS = {
     "xavier_normal": xavier_normal,
     "xavier_uniform": xavier_uniform,
     "normal": normal_init,
+    "torch_linear": torch_linear_uniform,
 }
 
 
@@ -123,9 +141,14 @@ def mlp_init(rng, layer_dims, init="xavier_normal", dtype=jnp.float32,
     params = []
     for i in range(len(layer_dims) - 1):
         rng, wk = jax.random.split(rng)
+        if init == "torch_linear":
+            rng, bk = jax.random.split(rng)
+            b = torch_linear_bias(bk, layer_dims[i], layer_dims[i + 1], dtype)
+        else:
+            b = jnp.zeros((layer_dims[i + 1],), dtype)
         layer = {
             "w": INITIALIZERS[init](wk, (layer_dims[i], layer_dims[i + 1]), dtype),
-            "b": jnp.zeros((layer_dims[i + 1],), dtype),
+            "b": b,
         }
         if bn:
             layer["bn_g"] = jnp.ones((layer_dims[i + 1],), dtype)

@@ -29,10 +29,16 @@ def bce_loss(logits, labels, weight=None):
 
 
 def ce_loss(logits, targets, weight=None):
-    """Cross entropy over the item axis; targets are int ids."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
-    return _wmean(nll, weight)
+    """Cross entropy over the item axis; targets are int ids.
+
+    Computed as logsumexp(logits) - logits[target] so the (B, n_items)
+    log-softmax matrix never materializes — for CE-over-all-items sequential
+    models the logits matmul fuses straight into a row reduction plus one
+    gather (the HBM-bandwidth win; the reference materializes full softmax
+    via torch CrossEntropyLoss)."""
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    pos = jnp.take_along_axis(logits, targets[:, None], axis=-1)[:, 0]
+    return _wmean(lse - pos, weight)
 
 
 def soft_ce_loss(logits, target_dist, weight=None):

@@ -25,13 +25,39 @@ _SHARDED_TABLE_KEYS = ("item_embedding", "entity_embedding")
 
 
 def make_mesh(mesh_shape, devices=None):
-    """mesh_shape: dict like {"data": 4, "model": 2}. Missing axes get size 1."""
+    """mesh_shape: dict like {"data": 4, "model": 2}. Missing axes get size 1.
+
+    Multi-process (pod slice / multi-host) layout: the "model" axis is kept
+    WITHIN a host's devices so row-sharded-table all-to-alls and the top-k
+    all-gather ride ICI; only the "data" axis (gradient all-reduce, the one
+    collective that tolerates DCN latency) crosses hosts — the
+    scaling-book hybrid-mesh recipe via mesh_utils.create_hybrid_device_mesh.
+    """
+    explicit = devices is not None
     devices = devices if devices is not None else jax.devices()
     data = int(mesh_shape.get("data", 1))
     model = int(mesh_shape.get("model", 1))
     n = data * model
     if n > len(devices):
         raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    nproc = jax.process_count()
+    if (not explicit and nproc > 1 and n == len(devices)
+            and data % nproc == 0 and model <= len(jax.local_devices())):
+        try:
+            from jax.experimental import mesh_utils
+            dev_array = mesh_utils.create_hybrid_device_mesh(
+                (data // nproc, model), (nproc, 1), devices=devices)
+        except ValueError:
+            # not a multi-slice TPU topology (e.g. multi-process CPU
+            # simulation, or a single pod slice spanning hosts): group by
+            # process so the model axis stays within one host's devices
+            by_proc = {}
+            for d in devices:
+                by_proc.setdefault(d.process_index, []).append(d)
+            groups = [np.asarray(g).reshape(data // nproc, model)
+                      for _, g in sorted(by_proc.items())]
+            dev_array = np.concatenate(groups, axis=0)
+        return Mesh(dev_array, ("data", "model"))
     dev_array = np.asarray(devices[:n]).reshape(data, model)
     return Mesh(dev_array, ("data", "model"))
 
@@ -68,23 +94,39 @@ class ShardingPlan:
         return jax.tree_util.tree_map_with_path(spec_for, params)
 
     def shard_params(self, params):
-        return jax.device_put(params, self.param_shardings(params))
+        if jax.process_count() == 1:
+            return jax.device_put(params, self.param_shardings(params))
+        # multi-process: params were initialized identically on every host
+        # (same seed); carve each host's addressable shards out of them
+        return jax.tree.map(lambda v, s: self._put(np.asarray(v), s),
+                            params, self.param_shardings(params))
+
+    def _put(self, v, sharding):
+        """device_put that also works multi-process: every process holds the
+        full array (each host loads the same dataset files), so
+        make_array_from_callback can slice out any addressable shard."""
+        if jax.process_count() == 1:
+            return jax.device_put(v, sharding)
+        return jax.make_array_from_callback(v.shape, sharding,
+                                            lambda idx: v[idx])
 
     def shard_batch(self, batch):
-        """Pad the leading dim to a multiple of the data axis and shard it."""
+        """Pad the leading dim to a multiple of the data axis and shard it.
+        Padding rows are all-zero, which downstream code already treats as
+        masked (_weight/_mask columns pad to 0)."""
         data_size = self.mesh.shape["data"]
         out = {}
         for k, v in batch.items():
             v = np.asarray(v)
             if v.ndim == 0:  # scalars (e.g. _step) replicate
-                out[k] = jax.device_put(v, self.replicated())
+                out[k] = self._put(v, self.replicated())
                 continue
             b = v.shape[0]
             rem = (-b) % data_size
             if rem:
                 pad_width = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
                 v = np.pad(np.asarray(v), pad_width)
-            out[k] = jax.device_put(v, self.batch_spec())
+            out[k] = self._put(v, self.batch_spec())
         return out
 
 

@@ -313,12 +313,20 @@ class Trainer:
         batches. The training table is uploaded once and stays HBM-resident;
         the host issues ONE dispatch per epoch (the per-step dispatch latency
         of a remote/tunneled accelerator would otherwise dominate small
-        models)."""
+        models).
+
+        Under a mesh the uploaded table is sharded over "data" and each
+        scanned batch is constrained back to P("data"), so the inner step
+        runs data-parallel with XLA inserting the gradient all-reduce."""
         B = loader.batch_size
         N = loader.n
         steps = -(-N // B)
         Npad = steps * B
         shuffle = getattr(loader, "shuffle", True)
+        plan = self.plan
+        batch_sharding = None
+        if plan is not None and B % plan.mesh.shape["data"] == 0:
+            batch_sharding = plan.batch_spec()
 
         @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
         def epoch_fn(params, opt_state, rng, step0, data, consts):
@@ -334,6 +342,11 @@ class Trainer:
                 idx = jnp.where(valid, idxs, 0)
                 batch = {f: v[idx] for f, v in data.items()}
                 batch["_weight"] = valid.astype(jnp.float32)
+                if batch_sharding is not None:
+                    batch = {f: (jax.lax.with_sharding_constraint(
+                                     v, batch_sharding)
+                                 if v.ndim >= 1 else v)
+                             for f, v in batch.items()}
                 batch["_step"] = step
                 params, opt_state, rng, _, parts = step_core(
                     params, opt_state, rng, batch, consts)
@@ -389,16 +402,23 @@ class Trainer:
         train_step = jax.jit(step_core, donate_argnums=(0, 1))
         bundle = {"step": train_step, "loader": loader, "consts": consts,
                   "epoch_fn": None, "steps": 0, "columns": None}
-        if (self.config["scan_epochs"] and self.plan is None
-                and hasattr(loader, "columns")):
+        if self.config["scan_epochs"] and hasattr(loader, "columns"):
             cols = loader.columns()
             nbytes = sum(v.nbytes for v in cols.values())
             if nbytes <= (self.config["scan_epochs_max_bytes"] or 2 << 30):
-                bundle["columns"] = {f: jnp.asarray(v) for f, v in cols.items()}
+                bundle["columns"] = self._upload_columns(cols)
                 bundle["epoch_fn"], bundle["steps"] = \
                     self._make_epoch_fn(step_core, loader)
         self._modes[mode] = bundle
         return bundle
+
+    def _upload_columns(self, cols):
+        """Upload the whole training table once: single device, or sharded
+        over the "data" axis under a mesh (rows stay local to their shard;
+        the scanned gather-by-permutation is resolved by GSPMD)."""
+        if self.plan is None:
+            return {f: jnp.asarray(v) for f, v in cols.items()}
+        return self.plan.shard_batch(cols)
 
     def _train_epoch(self, train_data, epoch_idx, mode="rs"):
         """One epoch. Loss parts stay ON DEVICE until epoch end so the host
@@ -662,12 +682,26 @@ class Trainer:
         base_stack = (getattr(cls, "full_sort_predict", None)
                       is SequentialRecommender.full_sort_predict)
         opted_in = "full_sort_query" in cls.__dict__
-        fused = ((use_bf16 or use_pallas) and not needs_gauc
-                 and (opted_in or base_stack)
-                 and hasattr(model, "full_sort_query")
-                 and not getattr(model, "full_sort_fallback", False))
+        queryable = ((opted_in or base_stack)
+                     and hasattr(model, "full_sort_query")
+                     and not getattr(model, "full_sort_fallback", False))
+        # distributed full-sort: under a mesh with a model axis, each item
+        # shard scores its slice and only (B, k) candidates cross the
+        # interconnect (parallel/topk.py) — this attacks the reference's one
+        # published weakness, full-sort eval cost (e.g. BPR Yelp eval 120s,
+        # General_recommendation.md:128)
+        distributed = (self.plan is not None
+                       and self.plan.mesh.shape["model"] > 1
+                       and self.config["shard_full_sort"]
+                       and queryable and not needs_gauc
+                       and n_items % self.plan.mesh.shape["model"] == 0)
+        fused = (use_bf16 or use_pallas or distributed) \
+            and not needs_gauc and queryable
         if fused:
             from ..ops.masked_topk import masked_topk
+            if distributed:
+                from ..parallel.topk import distributed_masked_topk
+                dist_mesh = self.plan.mesh
 
             @jax.jit
             def fused_eval_step(params, consts, batch):
@@ -690,8 +724,12 @@ class Trainer:
                               < consts["hlen"][user_id][:, None])
                     invalid = invalid.at[jnp.arange(B)[:, None], uh].max(
                         hvalid.astype(jnp.int8))
-                _, topk_idx = masked_topk(query, table, invalid, max_k,
-                                          prefer_pallas=use_pallas)
+                if distributed:
+                    _, topk_idx = distributed_masked_topk(
+                        dist_mesh, query, table, invalid, max_k)
+                else:
+                    _, topk_idx = masked_topk(query, table, invalid, max_k,
+                                              prefer_pallas=use_pallas)
                 pos_valid = (jnp.arange(pos_items.shape[1])[None, :]
                              < pos_len[:, None])
                 pos_index = jnp.any(
@@ -895,11 +933,15 @@ class Trainer:
         for batch in eval_data:
             mask = batch.pop("_mask")
             labels = batch[label_f]
-            jbatch = {k2: jnp.asarray(v) for k2, v in batch.items()}
+            if self.plan is not None:
+                jbatch = self.plan.shard_batch(dict(batch))
+            else:
+                jbatch = {k2: jnp.asarray(v) for k2, v in batch.items()}
             pending.append((labels, predict(self.params, jbatch), mask))
         preds_host = jax.device_get([p for _, p, _ in pending])
         for (labels, _, mask), preds in zip(pending, preds_host):
-            collector.collect(labels, preds, mask)
+            # shard_batch may have padded the batch; trim predictions back
+            collector.collect(labels, preds[:len(labels)], mask)
         return collector.evaluate()
 
     def evaluate(self, eval_data, load_best_model=True, model_file=None,
@@ -940,10 +982,12 @@ class Trainer:
                 self._eval_step_cache[key] = self._make_full_sort_eval_step(
                     eval_data, metrics, max_k, needs_gauc)
         step, consts = self._eval_step_cache[key]
+        upload = (self.plan.shard_batch if self.plan is not None
+                  else lambda b: {k2: jnp.asarray(v) for k2, v in b.items()})
         if labeled:
             total = None
             for batch in eval_data:
-                batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
+                batch = upload(dict(batch))
                 sums = step(self.params, consts, batch)
                 total = sums if total is None else jax.tree.map(
                     jnp.add, total, sums)
@@ -956,7 +1000,7 @@ class Trainer:
         # remote/tunneled accelerator)
         total = None
         for batch in eval_data:
-            batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
+            batch = upload(dict(batch))
             if sampled:
                 self.rng, ek = jax.random.split(self.rng)
                 sums = step(self.params, consts, ek, batch)
@@ -1225,6 +1269,8 @@ class RecVAETrainer(Trainer):
             self.rng, init_key = jax.random.split(self.rng)
             self.params = self.model.attach_consts(
                 self.model.zero_pad_rows(self.model.init_params(init_key)))
+            if self.plan is not None:
+                self.params = self.plan.shard_params(self.params)
         if self._rv is not None:
             return
         self._rv = {}
@@ -1250,10 +1296,9 @@ class RecVAETrainer(Trainer):
                       "step": jax.jit(step_core, donate_argnums=(0, 1)),
                       "consts": aug_consts,
                       "epoch_fn": None, "steps": 0, "columns": None}
-            if self.config["scan_epochs"] and self.plan is None \
-                    and hasattr(train_data, "columns"):
+            if self.config["scan_epochs"] and hasattr(train_data, "columns"):
                 cols = train_data.columns()
-                bundle["columns"] = {f: jnp.asarray(v) for f, v in cols.items()}
+                bundle["columns"] = self._upload_columns(cols)
                 bundle["epoch_fn"], bundle["steps"] = \
                     self._make_epoch_fn(step_core, train_data)
             self._rv[mode] = bundle

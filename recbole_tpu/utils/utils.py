@@ -11,11 +11,27 @@ import numpy as np
 
 
 def init_jax(config) -> None:
-    """Process-level jax setup: platform override + persistent compilation
-    cache. Must run before the first jax device use."""
+    """Process-level jax setup: platform override, multi-host bootstrap,
+    persistent compilation cache. Must run before the first jax device use."""
     if config["platform"]:
         import jax
         jax.config.update("jax_platforms", config["platform"])
+    if config["distributed_auto_init"] or config["distributed_coordinator"]:
+        import jax
+        kwargs = {}
+        if config["distributed_coordinator"]:
+            kwargs = {
+                "coordinator_address": config["distributed_coordinator"],
+                "num_processes": int(config["distributed_num_processes"]),
+                "process_id": int(config["distributed_process_id"]),
+            }
+        # else: TPU-pod auto-detection (jax reads the topology from the
+        # TPU runtime; no keys needed)
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:  # already initialized (repeat runs in-proc)
+            if "already initialized" not in str(e).lower():
+                raise
     cache_dir = config["compilation_cache_dir"]
     if cache_dir:
         import jax

@@ -187,6 +187,28 @@ def test_fused_bf16_eval_matches_f32(synth_dataset_dir, tmp_path):
         assert abs(v - r2["test_result"][k]) < 0.02, (k, v, r2["test_result"][k])
 
 
+def test_seq_bf16_training_matches_f32(synth_dataset_dir, tmp_path):
+    """A/B metric-parity gate for the bfloat16 sequential-tower default
+    (compute_dtype: auto resolves to bf16 on TPU): training SASRec with
+    explicit bf16 towers must land within run-to-run variance of fp32."""
+    base = {"model": "SASRec", "dataset": "synth",
+            "data_path": synth_dataset_dir,
+            "checkpoint_dir": str(tmp_path / "saved"),
+            "log_dir": str(tmp_path / "log"),
+            "epochs": 2, "state": "ERROR",
+            "MAX_ITEM_LIST_LENGTH": 20, "train_batch_size": 256,
+            "seed": 42, "valid_full_to_uni1000": False}
+    r32 = objective_function(config_dict={**base,
+                                          "compute_dtype": "float32"},
+                             saved=False)
+    r16 = objective_function(config_dict={**base,
+                                          "compute_dtype": "bfloat16"},
+                             saved=False)
+    for k, v in r32["test_result"].items():
+        assert abs(v - r16["test_result"][k]) < 0.05, \
+            (k, v, r16["test_result"][k])
+
+
 def test_case_study_binds_trained_consts(synth_dataset_dir, tmp_path):
     """case_study must score with the params-carried device constants —
     KGAT rebuilds its dense attention blocks in params['_const'] each epoch,

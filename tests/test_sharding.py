@@ -58,6 +58,92 @@ print("distributed topk ok")
     assert "distributed topk ok" in r.stdout
 
 
+def test_distributed_full_sort_matches_single_device():
+    """Trainer-level distributed full-sort eval (item axis sharded, local
+    top-k + all-gather combine) must produce the same metrics as the
+    replicated path."""
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import tempfile, os
+from tests.synth_data import make_synthetic_dataset
+from recbole_tpu import objective_function
+root = tempfile.mkdtemp()
+make_synthetic_dataset(root, name="synth", with_kg=False)
+base = {
+    "model": "BPR", "dataset": "synth", "data_path": root,
+    "checkpoint_dir": os.path.join(root, "s"), "log_dir": os.path.join(root, "l"),
+    "epochs": 1, "train_batch_size": 256, "state": "ERROR", "seed": 7,
+    "valid_full_to_uni1000": False}
+r_single = objective_function(config_dict=dict(base), saved=False)
+r_dist = objective_function(config_dict={**base,
+    "mesh_shape": {"data": 2, "model": 4}, "shard_item_embeddings": True,
+    "shard_full_sort": True}, saved=False)
+a, b = r_single["test_result"], r_dist["test_result"]
+for k in a:
+    assert abs(a[k] - b[k]) < 2e-3, (k, a[k], b[k])
+print("distributed full-sort parity ok", b)
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "distributed full-sort parity ok" in r.stdout
+
+
+def test_two_process_distributed_init():
+    """jax.distributed bootstrap through the config keys: 2 CPU processes,
+    4 virtual devices each, global mesh {data: 4, model: 2}, one sharded
+    train step + a cross-process collective."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    code = """
+import sys
+pid = int(sys.argv[1])
+from recbole_tpu.config.configurator import Config
+from recbole_tpu.utils.utils import init_jax
+cfg = Config("BPR", "synthetic", config_dict={
+    "distributed_coordinator": "127.0.0.1:%PORT%",
+    "distributed_num_processes": 2, "distributed_process_id": pid,
+    "platform": "cpu"}, _parse_cmd_line=False)
+init_jax(cfg)
+import jax, numpy as np, jax.numpy as jnp
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+from recbole_tpu.parallel.mesh import make_mesh, ShardingPlan
+mesh = make_mesh({"data": 4, "model": 2})
+# hybrid layout: the model axis must stay within one process's devices
+for row in mesh.devices:
+    assert len({d.process_index for d in row}) == 1, mesh.devices
+plan = ShardingPlan(mesh, shard_item_embeddings=True)
+params = {"item_embedding": np.ones((64, 8), np.float32),
+          "user_embedding": np.ones((32, 8), np.float32)}
+sp = plan.shard_params(params)
+batch = plan.shard_batch({"user_id": np.arange(16, dtype=np.int32)})
+
+@jax.jit
+def step(p, b):
+    u = p["user_embedding"][b["user_id"]]
+    return jnp.sum(u @ p["item_embedding"].T)
+
+out = float(step(sp, batch))
+assert abs(out - 16 * 64 * 8) < 1e-3, out
+print(f"proc {pid} two-process ok", flush=True)
+""".replace("%PORT%", str(port))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_DEFAULT_PRNG_IMPL"] = "rbg"
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(pid)],
+                              cwd=REPO, env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for pid in (0, 1)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+        assert "two-process ok" in out
+
+
 def test_mesh_sharded_training_fit():
     """Full fit + eval through the trainer's ShardingPlan path
     (config mesh_shape) on a 4x2 virtual mesh."""
