@@ -52,8 +52,12 @@ TRAINING_DEFAULTS = {
     "scan_epochs_max_bytes": 2 << 30,
     "profile_trace_dir": None,          # jax.profiler trace output (fork: torch profiler)
     # fused Pallas attention (mask+softmax+dropout+matmuls in one kernel,
-    # TPU only; XLA path used automatically anywhere it doesn't apply)
-    "fused_attention": True,
+    # TPU only; XLA path used automatically anywhere it doesn't apply).
+    # Default OFF: at catalog shapes (L=50, D=64) the whole-epoch A/B measured
+    # XLA ahead (SASRec ml-1m 5.81 vs 6.53 s/epoch — the kernel's bwd pays
+    # more in grid overhead than it saves in HBM traffic at tiny L). Turn on
+    # for long-sequence / large-D configs where the (B,H,L,L) tensor dominates.
+    "fused_attention": False,
     # KG trainer loop policies (parity: KGTrainer/MKRTrainer config keys)
     "train_rec_step": None,
     "train_kg_step": None,

@@ -88,17 +88,39 @@ class BERT4Rec(SequentialRecommender):
         do_mask = (jax.random.uniform(km, seq.shape) < self.mask_ratio) & is_item
         masked_seq = jnp.where(do_mask, self.mask_token, seq)
         h = self._encode(params, masked_seq, ke)               # (B, L, D)
-        # CE over real items only — the reference slices the [MASK] row out
-        # of the softmax (bert4rec.py:225-228)
-        logits = jnp.einsum("bld,nd->bln", h,
-                            params["item_embedding"][:self.n_items],
-                            preferred_element_type=jnp.float32)
-        logp = jax.nn.log_softmax(logits, -1)
-        nll = -jnp.take_along_axis(logp, seq[:, :, None], -1)[:, :, 0]
-        # position 0 can never contribute: the reference stores masked
+        # Score ONLY the masked positions, gathered into a fixed-capacity
+        # (B, M) buffer — masked count is Binomial(L, ratio), so M at
+        # mean + 6 sigma overflows with probability ~1e-9 per row (excess
+        # positions in such a row are dropped). The dense alternative
+        # materializes (B, L, n_items) logits + log-softmax (~6GB of HBM
+        # traffic per step at ml-1m shape) for the ~20% of positions that
+        # contribute. CE itself is the fused logsumexp - target-logit form.
+        # Position 0 can never contribute: the reference stores masked
         # indices in a 0-padded buffer, so a masked FIRST position is
-        # indistinguishable from padding and is dropped (bert4rec.py:229-232)
-        w = (do_mask & (jnp.arange(L)[None, :] > 0)).astype(jnp.float32)
+        # indistinguishable from padding and is dropped (bert4rec.py:229-232).
+        import math
+        mean = L * self.mask_ratio
+        sigma = math.sqrt(L * self.mask_ratio * (1 - self.mask_ratio))
+        M = min(L, int(math.ceil(mean + 6 * sigma)))
+        flags = do_mask & (jnp.arange(L)[None, :] > 0)
+        # top-M masked positions per row (earlier positions preferred; order
+        # is irrelevant to the sum)
+        rank = jnp.where(flags, L - jnp.arange(L)[None, :], 0)
+        vals, pos = jax.lax.top_k(rank, M)                     # (B, M)
+        sel = (vals > 0)
+        h_sel = jnp.take_along_axis(h, pos[:, :, None], 1)     # (B, M, D)
+        tgt = jnp.take_along_axis(seq, pos, 1)                 # (B, M)
+        table = params["item_embedding"][:self.n_items]
+        if self.cdt is not None:
+            h_sel = h_sel.astype(self.cdt)
+            table = table.astype(self.cdt)
+        logits = jnp.einsum("bmd,nd->bmn", h_sel, table,
+                            preferred_element_type=jnp.float32)
+        lse = jax.nn.logsumexp(logits, -1)                     # (B, M)
+        pos_logit = jnp.take_along_axis(
+            logits, jnp.where(sel, tgt, 0)[:, :, None], -1)[:, :, 0]
+        nll = lse - pos_logit
+        w = sel.astype(jnp.float32)
         if "_weight" in batch:
             w = w * batch["_weight"][:, None]
         return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
