@@ -217,17 +217,29 @@ def gru_apply(params, x, h0=None, compute_dtype=None, fused=None):
     """x: (B, L, D) -> outputs (B, L, H) of the last layer.
 
     The input projection is one big batched MXU matmul; the recurrence is a
-    lax.scan. ``fused=True`` opts into the Pallas kernel (ops/fused_gru.py:
-    whole time loop in VMEM, recompute-based backward) — measured at ml-1m
-    shape it does NOT beat XLA's scan (6.9 vs 6.2 ms/step full GRU4Rec
-    step; the recurrence is latency-bound either way), so the default stays
-    on XLA. The hidden state stays fp32 across steps (recurrent error
-    compounds); only matmul operands drop to the compute dtype.
+    lax.scan. The recurrence is HBM-BANDWIDTH bound at catalog shapes
+    (B=8192 vs 2048 barely changed the ml-1m epoch), so the two levers are
+    traffic reduction: (1) xi and the per-step outputs ride the bf16
+    compute dtype (gate math upcasts to fp32 in-register; the fp32 hidden
+    carry is preserved across steps so recurrent error does not compound);
+    (2) jax.checkpoint on the step makes the backward recompute the gates
+    instead of storing (B, 3H) residuals per timestep — flops are free here,
+    bandwidth is not. Measured ml-1m GRU4Rec epoch: 2.77s base, 2.32s bf16,
+    2.21s checkpoint, 1.62s both.
+
+    ``fused=True`` opts into the Pallas kernel (ops/fused_gru.py: whole time
+    loop in VMEM, recompute-based backward) — measured at ml-1m shape it
+    does NOT beat XLA's scan, so the default stays on XLA.
+
+    NOTE: unroll>1 measured SLOWER (2.76s unroll=1, 3.23s unroll=2, 3.98s
+    unroll=10) — unrolling bloats the while-loop working set without
+    removing the sequential dependency.
     """
     B, L, _ = x.shape
     for layer in params:
         H = layer["wh"].shape[0]
-        h_init = jnp.zeros((B, H), x.dtype) if h0 is None else h0
+        h_init = (jnp.zeros((B, H), jnp.float32) if h0 is None
+                  else h0.astype(jnp.float32))
 
         xi = dot_c(x, layer["wi"], compute_dtype) + layer["bi"]  # (B, L, 3H)
 
@@ -238,20 +250,22 @@ def gru_apply(params, x, h0=None, compute_dtype=None, fused=None):
                               layer["wh"], layer["bh"])
                 continue
 
-        def step(h, xi_t):
-            hh = dot_c(h, layer["wh"], compute_dtype) + layer["bh"]
-            ir, iz, in_ = jnp.split(xi_t, 3, axis=-1)
+        if compute_dtype is not None:
+            xi = xi.astype(compute_dtype)
+
+        @jax.checkpoint
+        def step(h, xi_t, _layer=layer):
+            hh = dot_c(h, _layer["wh"], compute_dtype) + _layer["bh"]
+            ir, iz, in_ = jnp.split(xi_t.astype(jnp.float32), 3, axis=-1)
             hr, hz, hn = jnp.split(hh, 3, axis=-1)
             r = jax.nn.sigmoid(ir + hr)
             z = jax.nn.sigmoid(iz + hz)
             n = jnp.tanh(in_ + r * hn)
             h_new = (1 - z) * n + z * h
-            return h_new, h_new
+            out = (h_new.astype(compute_dtype) if compute_dtype is not None
+                   else h_new)
+            return h_new, out
 
-        # NOTE: unroll>1 measured SLOWER at catalog shape (GRU4Rec ml-1m
-        # epoch: 2.76s unroll=1, 3.23s unroll=2, 3.98s unroll=10) — the
-        # unrolled body bloats the while-loop working set without removing
-        # the sequential dependency, so keep the plain scan
         _, outs = jax.lax.scan(step, h_init, xi.transpose(1, 0, 2))
         x = outs.transpose(1, 0, 2)
     return x

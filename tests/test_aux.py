@@ -187,11 +187,12 @@ def test_fused_bf16_eval_matches_f32(synth_dataset_dir, tmp_path):
         assert abs(v - r2["test_result"][k]) < 0.02, (k, v, r2["test_result"][k])
 
 
-def test_seq_bf16_training_matches_f32(synth_dataset_dir, tmp_path):
+@pytest.mark.parametrize("model", ["SASRec", "GRU4Rec"])
+def test_seq_bf16_training_matches_f32(model, synth_dataset_dir, tmp_path):
     """A/B metric-parity gate for the bfloat16 sequential-tower default
-    (compute_dtype: auto resolves to bf16 on TPU): training SASRec with
-    explicit bf16 towers must land within run-to-run variance of fp32."""
-    base = {"model": "SASRec", "dataset": "synth",
+    (compute_dtype: auto resolves to bf16 on TPU): training with explicit
+    bf16 towers must land within run-to-run variance of fp32."""
+    base = {"model": model, "dataset": "synth",
             "data_path": synth_dataset_dir,
             "checkpoint_dir": str(tmp_path / "saved"),
             "log_dir": str(tmp_path / "log"),
