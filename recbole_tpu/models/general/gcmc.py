@@ -49,6 +49,7 @@ class GCMC(GeneralRecommender):
         from ...ops.graph import BipartiteProp
         self.prop = BipartiteProp(dataset.inter_matrix("csr"),
                                   self.n_users, self.n_items)
+        self.scan_epochs_ok = not self.prop.heavy
 
     def init_params(self, rng):
         ks = jax.random.split(rng, 4 + self.n_basis)

@@ -33,6 +33,7 @@ class NGCF(GeneralRecommender):
         from ...ops.graph import BipartiteProp
         self.prop = BipartiteProp(dataset.inter_matrix("csr"),
                                   self.n_users, self.n_items)
+        self.scan_epochs_ok = not self.prop.heavy
         self.n_nodes = self.n_users + self.n_items
 
     def init_params(self, rng):

@@ -32,6 +32,7 @@ class SpectralCF(GeneralRecommender):
         # normalization, not symmetric)
         self.prop = BipartiteProp(dataset.inter_matrix("csr"),
                                   self.n_users, self.n_items, norm="rw")
+        self.scan_epochs_ok = not self.prop.heavy
         self.n_nodes = self.n_users + self.n_items
 
     def init_params(self, rng):

@@ -22,6 +22,12 @@ import jax.numpy as jnp
 # dense R budget: 256M f32 entries = 1 GiB HBM
 DENSE_ENTRY_BUDGET = 256_000_000
 
+# sparse-path SpMM edge chunk: bounds the materialized message buffer to
+# chunk*D floats (a 5.8M-edge graph at D=64 would otherwise materialize
+# 1.5GB of messages per layer per direction — measured OOM-crashing the
+# TPU worker at Yelp scale inside the scanned training epoch)
+EDGE_CHUNK = 1 << 20
+
 
 class BipartiteProp:
     """Symmetric-normalized user-item propagation operator.
@@ -57,6 +63,12 @@ class BipartiteProp:
         self.n_users, self.n_items = n_users, n_items
         self.n_nodes = n_users + n_items
         self.dense = n_users * n_items <= dense_budget
+        # multi-chunk sparse propagation inside a whole-epoch lax.scan
+        # compiles/executes pathologically (scan-of-scan over millions of
+        # edges per step, and the 2-layer fwd+bwd chain OOM-crashed the TPU
+        # worker at Yelp scale before chunking); models consuming a heavy
+        # operator advertise scan_epochs_ok=False and stream per-batch
+        self.heavy = (not self.dense) and len(u) * 2 > EDGE_CHUNK
         if self.dense:
             Ru = np.zeros((n_users, n_items), np.float32)
             np.add.at(Ru, (u, i), wu)
@@ -69,13 +81,23 @@ class BipartiteProp:
         else:
             src = np.concatenate([u, i + n_users])
             dst = np.concatenate([i + n_users, u])
+            w = np.concatenate([wi, wu]).astype(np.float32)
+            # pad the edge list to a multiple of the SpMM chunk so the
+            # chunked scan has static shapes; padding edges carry w=0 onto
+            # node 0 (the [PAD] row nothing reads)
+            self.edge_chunk = min(EDGE_CHUNK, 1 << int(np.ceil(np.log2(
+                max(len(src), 1)))))
+            pad = (-len(src)) % self.edge_chunk
+            if pad:
+                src = np.concatenate([src, np.zeros(pad, np.int32)])
+                dst = np.concatenate([dst, np.zeros(pad, np.int32)])
+                w = np.concatenate([w, np.zeros(pad, np.float32)])
             self._consts = {
                 "edge_src": jnp.asarray(src),
                 "edge_dst": jnp.asarray(dst),
                 # weight indexed by DESTINATION side: u->i edges land on
                 # items (divide by item degree for rw), i->u on users
-                "edge_w": jnp.asarray(
-                    np.concatenate([wi, wu]).astype(np.float32)),
+                "edge_w": jnp.asarray(w),
             }
 
     def init_consts(self):
@@ -96,6 +118,29 @@ class BipartiteProp:
             ni = jnp.dot(consts.get("Rt", R).T, xu,
                          preferred_element_type=jnp.float32)
             return jnp.concatenate([nu, ni], axis=0)
-        msgs = x[consts["edge_src"]] * consts["edge_w"][:, None]
-        return jax.ops.segment_sum(msgs, consts["edge_dst"],
-                                   num_segments=self.n_nodes)
+        src, dst, w = (consts["edge_src"], consts["edge_dst"],
+                       consts["edge_w"])
+        n_nodes = self.n_nodes
+        C = self.edge_chunk
+        n_chunks = src.shape[0] // C
+        if n_chunks <= 1:
+            msgs = x[src] * w[:, None]
+            return jax.ops.segment_sum(msgs, dst, num_segments=n_nodes)
+
+        # chunked SpMM: scan over edge chunks accumulating into the output;
+        # jax.checkpoint makes the backward re-gather instead of storing
+        # per-chunk messages, so peak memory is chunk*D + the (n_nodes, D)
+        # accumulator regardless of edge count
+        @jax.checkpoint
+        def body(acc, sl):
+            s, d, cw = sl
+            msgs = x[s] * cw[:, None]
+            return acc + jax.ops.segment_sum(
+                msgs, d, num_segments=n_nodes), None
+
+        acc0 = jnp.zeros((n_nodes, x.shape[1]), x.dtype)
+        acc, _ = jax.lax.scan(
+            body, acc0,
+            (src.reshape(n_chunks, C), dst.reshape(n_chunks, C),
+             w.reshape(n_chunks, C)))
+        return acc

@@ -402,7 +402,9 @@ class Trainer:
         train_step = jax.jit(step_core, donate_argnums=(0, 1))
         bundle = {"step": train_step, "loader": loader, "consts": consts,
                   "epoch_fn": None, "steps": 0, "columns": None}
-        if self.config["scan_epochs"] and hasattr(loader, "columns"):
+        if (self.config["scan_epochs"]
+                and getattr(self.model, "scan_epochs_ok", True)
+                and hasattr(loader, "columns")):
             cols = loader.columns()
             nbytes = sum(v.nbytes for v in cols.values())
             if nbytes <= (self.config["scan_epochs_max_bytes"] or 2 << 30):

@@ -77,3 +77,4 @@ def test_fm_learns_signal(synth_dataset_dir, tmp_path):
     # ratings are random in synth data, but user/item biases exist; just
     # require AUC is finite and the pipeline ran 30 epochs
     assert 0.0 <= result["test_result"]["auc"] <= 1.0
+

@@ -290,3 +290,35 @@ def test_fused_transformer_layer_matches_xla():
             np.testing.assert_allclose(
                 np.asarray(gp_f[k]), np.asarray(gp_r[k]), rtol=2e-4,
                 atol=2e-4, err_msg=f"param grad {k} ({causal}, {act})")
+
+
+def test_chunked_spmm_matches_dense():
+    """Sparse-path SpMM (chunked, checkpointed scan — the Yelp-scale memory
+    fix) must match the dense MXU path, values and grads."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax
+    import jax.numpy as jnp
+    from recbole_tpu.ops import graph as G
+
+    rng = np.random.RandomState(0)
+    n_u, n_i, E = 60, 80, 500
+    u = rng.randint(0, n_u, E)
+    i = rng.randint(0, n_i, E)
+    m = sp.csr_matrix((np.ones(E), (u, i)), shape=(n_u, n_i))
+    dense = G.BipartiteProp(m, n_u, n_i)
+    old_chunk = G.EDGE_CHUNK
+    try:
+        G.EDGE_CHUNK = 128  # force multi-chunk at test size
+        sparse = G.BipartiteProp(m, n_u, n_i, dense_budget=1)
+    finally:
+        G.EDGE_CHUNK = old_chunk
+    assert not sparse.dense
+    assert sparse._consts["edge_src"].shape[0] // sparse.edge_chunk > 1
+    x = jnp.asarray(rng.randn(n_u + n_i, 16).astype(np.float32))
+    yd = dense(dense.init_consts(), x)
+    ys = sparse(sparse.init_consts(), x)
+    np.testing.assert_allclose(np.asarray(yd), np.asarray(ys), atol=1e-5)
+    gd = jax.grad(lambda a: jnp.sum(dense(dense.init_consts(), a) ** 2))(x)
+    gs = jax.grad(lambda a: jnp.sum(sparse(sparse.init_consts(), a) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), atol=1e-4)
