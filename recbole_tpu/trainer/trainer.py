@@ -919,31 +919,50 @@ class Trainer:
 
     def _evaluate_individual(self, eval_data):
         """Value-metric path: predictions vs labels over plain rows (parity:
-        reference LossEvaluator, evaluators.py:289-367)."""
+        reference LossEvaluator, evaluators.py:289-367).
+
+        The whole eval table is uploaded ONCE and every batch runs inside a
+        single scanned device program — per-batch host->device uploads paid
+        tunnel round-trip bandwidth per batch (measured 0.18s/batch at
+        Avazu scale, eval slower than the reference's GPU), and only the
+        (n,) prediction vector returns to the host."""
         model = self.model
         label_f = self.config["LABEL_FIELD"]
-        # jit ONCE per trainer: a fresh jax.jit(closure) per evaluate() call
-        # misses the trace cache and re-compiles every epoch's validation
-        predict = getattr(self, "_individual_predict", None)
-        if predict is None:
-            def _predict(p, b):
-                with model.bind_consts(model.consts_of(p)):
-                    return model.predict(p, b)
-            predict = self._individual_predict = jax.jit(_predict)
-        collector = ValueCollector(self.config)
-        pending = []  # device-side predictions; ONE host transfer at the end
-        for batch in eval_data:
-            mask = batch.pop("_mask")
-            labels = batch[label_f]
+        cached = getattr(eval_data, "_individual_cache", None)
+        if cached is None or cached[0] is not self:
+            cols = {f: np.asarray(v) for f, v in eval_data.fields.items()}
+            n = eval_data.n
+            B = min(eval_data.batch_size, max(n, 1))
+            steps = -(-n // B)
+            pad = steps * B - n
+            if pad:
+                cols = {f: np.concatenate(
+                    [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                    for f, v in cols.items()}
             if self.plan is not None:
-                jbatch = self.plan.shard_batch(dict(batch))
+                dcols = self.plan.shard_batch(cols)
             else:
-                jbatch = {k2: jnp.asarray(v) for k2, v in batch.items()}
-            pending.append((labels, predict(self.params, jbatch), mask))
-        preds_host = jax.device_get([p for _, p, _ in pending])
-        for (labels, _, mask), preds in zip(pending, preds_host):
-            # shard_batch may have padded the batch; trim predictions back
-            collector.collect(labels, preds[:len(labels)], mask)
+                dcols = {f: jnp.asarray(v) for f, v in cols.items()}
+
+            @jax.jit
+            def predict_all(params, dcols):
+                def body(_, i):
+                    batch = {f: jax.lax.dynamic_slice_in_dim(v, i * B, B)
+                             for f, v in dcols.items()}
+                    with model.bind_consts(model.consts_of(params)):
+                        return _, model.predict(params, batch)
+
+                _, preds = jax.lax.scan(body, None,
+                                        jnp.arange(steps, dtype=jnp.int32))
+                return preds.reshape(-1)[:n]
+
+            cached = (self, predict_all, dcols,
+                      np.asarray(eval_data.fields[label_f]))
+            eval_data._individual_cache = cached
+        _, predict_all, dcols, labels = cached
+        preds = np.asarray(predict_all(self.params, dcols))
+        collector = ValueCollector(self.config)
+        collector.collect(labels, preds)
         return collector.evaluate()
 
     def evaluate(self, eval_data, load_best_model=True, model_file=None,
