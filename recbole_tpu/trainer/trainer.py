@@ -41,9 +41,12 @@ def build_optimizer(config):
     (parity: _build_optimizer, trainer.py:109-130)."""
     lr = config["learning_rate"]
     name = str(config["learner"]).lower()
+    from .lazy_adam import lazy_adam
     opts = {
         "adam": lambda: optax.adam(lr),
-        "sparse_adam": lambda: optax.adam(lr),
+        # torch.optim.SparseAdam semantics (reference trainer.py:123):
+        # untouched rows keep moments un-decayed and values un-stepped
+        "sparse_adam": lambda: lazy_adam(lr),
         "adamw": lambda: optax.adamw(lr),
         "sgd": lambda: optax.sgd(lr),
         "adagrad": lambda: optax.adagrad(lr),
