@@ -22,6 +22,25 @@ import jax.numpy as jnp
 # dense R budget: 256M f32 entries = 1 GiB HBM
 DENSE_ENTRY_BUDGET = 256_000_000
 
+# --- hybrid (hub-dense + ELL-tail) path constants --------------------------
+# Measured on TPU v5e (scripts/bench_graph_prop.py + scalar-synced
+# microbenches, 2026-08-19): XLA row gathers are ROW-RATE bound at ~7.2ns/row
+# (independent of dtype, row width 64..256, and table size 3MB..400MB), ELL
+# gather+reduce lands at ~9ns/row, and dense bf16 matmul streams R at ~590GB/s
+# effective. A dense bf16 block therefore beats edge-granular processing
+# exactly when the block's edge density exceeds
+#     bytes_per_entry / (BW_eff * gather_ns)  =  2 / (590e9 * 7.2e-9)
+# i.e. when an item's degree exceeds n_users / 2124. Items above that
+# threshold become the dense "hub"; the tail stays ELL. (User-side hubs were
+# evaluated and wash out: at Yelp shape the candidate block sits at ~1x
+# break-even.) Unsorted scatters measured ~24ms FIXED + 28ns/row on this
+# chip, so the hybrid is assembled scatter-free: static index-map gathers
+# place hub rows, and the symmetric-normalized adjacency makes the backward
+# the SAME operator (A^T = A), so the custom VJP re-runs the forward.
+HUB_BREAK_EVEN_DIV = 2124.0
+HUB_BUDGET_BYTES = 4 << 30
+HUB_MIN_DEG = 16.0
+
 # sparse-path SpMM edge chunk: bounds the materialized message buffer to
 # chunk*D floats (a 5.8M-edge graph at D=64 would otherwise materialize
 # 1.5GB of messages per layer per direction — measured OOM-crashing the
@@ -42,7 +61,8 @@ class BipartiteProp:
     """
 
     def __init__(self, inter_matrix, n_users, n_items,
-                 dense_budget=DENSE_ENTRY_BUDGET, norm="sym"):
+                 dense_budget=DENSE_ENTRY_BUDGET, norm="sym", hybrid=True,
+                 hub_budget=HUB_BUDGET_BYTES):
         coo = inter_matrix.tocoo()
         u = coo.row.astype(np.int32)
         i = coo.col.astype(np.int32)
@@ -69,6 +89,10 @@ class BipartiteProp:
         # worker at Yelp scale before chunking); models consuming a heavy
         # operator advertise scan_epochs_ok=False and stream per-batch
         self.heavy = (not self.dense) and len(u) * 2 > EDGE_CHUNK
+        self.hybrid = (not self.dense) and norm == "sym" and hybrid
+        if self.hybrid:
+            self._build_hybrid(u, i, wu, hub_budget)
+            return
         if self.dense:
             Ru = np.zeros((n_users, n_items), np.float32)
             np.add.at(Ru, (u, i), wu)
@@ -110,6 +134,52 @@ class BipartiteProp:
                 "bwd_w": jnp.asarray(w[os_]),
             }
 
+    def _build_hybrid(self, u, i, w, hub_budget):
+        """Hub-dense + ELL-tail decomposition of the symmetric-normalized
+        adjacency (see module constants for the measured break-even math).
+
+        Items with degree above n_users/HUB_BREAK_EVEN_DIV form a dense
+        (n_users, H) bf16 block R_hub (bandwidth-bound MXU matmuls, both
+        directions); the remaining tail edges run scatter-free ELL over the
+        full node space. Assembly uses static index-map GATHERS only:
+        ``hub_ids`` compacts item rows into hub order, ``hub_pos`` expands
+        hub outputs back (sentinel H -> a zero row). The operator is
+        symmetric, so the custom VJP applies the forward to the cotangent."""
+        from .edge_prop import build_ell_consts
+        n_users, n_items = self.n_users, self.n_items
+        di = np.bincount(i, minlength=n_items)
+        thr = max(n_users / HUB_BREAK_EVEN_DIV, HUB_MIN_DEG)
+        hub_ids = np.nonzero(di > thr)[0]
+        h_max = max(int(hub_budget // max(2 * n_users, 1)), 0)
+        if len(hub_ids) > h_max:
+            order = np.argsort(-di[hub_ids], kind="stable")
+            hub_ids = np.sort(hub_ids[order[:h_max]])
+        H = len(hub_ids)
+        Hp = max(-(-H // 128) * 128, 128)
+        hub_pos = np.full(n_items, Hp, np.int64)  # sentinel -> zero row
+        hub_pos[hub_ids] = np.arange(H)
+        is_hub_edge = hub_pos[i] < H
+        hu, hi, hw = u[is_hub_edge], i[is_hub_edge], w[is_hub_edge]
+        R = np.zeros((n_users, Hp), np.float32)
+        np.add.at(R, (hu, hub_pos[hi]), hw)
+        tu, ti, tw = (u[~is_hub_edge], i[~is_hub_edge] + n_users,
+                      w[~is_hub_edge])
+        heads = np.concatenate([tu, ti])
+        tails = np.concatenate([ti, tu])
+        att = np.concatenate([tw, tw]).astype(np.float32)
+        ell_consts, self._ell_shapes = build_ell_consts(
+            heads, tails, self.n_nodes, prefix="gh")
+        hub_ids_pad = np.zeros(Hp, np.int64)  # padded cols read item 0,
+        hub_ids_pad[:H] = hub_ids             # R columns there are zero
+        self._consts = {
+            "hub_R": jnp.asarray(R, jnp.bfloat16),
+            "hub_ids": jnp.asarray(hub_ids_pad.astype(np.int32)),
+            "hub_pos": jnp.asarray(hub_pos.astype(np.int32)),
+            "gh_att": jnp.asarray(att),
+            **{k: jnp.asarray(v) for k, v in ell_consts.items()},
+        }
+        self.hub_size = H
+
     def init_consts(self):
         """Device arrays for params["_const"]; key them by a model-chosen
         name to allow several operators per model."""
@@ -119,6 +189,13 @@ class BipartiteProp:
         """consts: the dict from init_consts (read back from params);
         x: (n_users + n_items, D) -> A_hat @ x."""
         consts = jax.lax.stop_gradient(consts)
+        if self.hybrid:
+            c = consts
+            return _hybrid_sym_prop(
+                self.n_users, self.n_items, self._ell_shapes,
+                c["hub_R"], c["hub_ids"], c["hub_pos"], c["gh_att"],
+                c["ghf_eidx"], c["ghf_nbr"], c["ghf_inv"],
+                c["ghb_eidx"], c["ghb_nbr"], c["ghb_inv"], x)
         if self.dense:
             R = consts["R"]
             xu, xi = x[:self.n_users], x[self.n_users:]
@@ -187,3 +264,54 @@ def _sorted_spmm_bwd(n_nodes, chunk, res, g):
 
 
 _sorted_spmm.defvjp(_sorted_spmm_fwd, _sorted_spmm_bwd)
+
+
+def _hybrid_apply(n_users, n_items, shapes, R, hub_ids, hub_pos, att,
+                  f_eidx, f_nbr, f_inv, b_eidx, b_nbr, b_inv, x):
+    from .edge_prop import ell_propagate
+    xu, xi = x[:n_users], x[n_users:]
+    # hub block: two bandwidth-bound bf16 MXU matmuls (fp32 accumulate)
+    xi_hub = xi.at[hub_ids].get(mode="promise_in_bounds").astype(R.dtype)
+    nu = jnp.dot(R, xi_hub, preferred_element_type=jnp.float32)
+    ni_hub = jnp.dot(R.T, xu.astype(R.dtype),
+                     preferred_element_type=jnp.float32)
+    # tail edges: scatter-free ELL over the full node space
+    tail = ell_propagate(shapes, x, att, f_eidx, f_nbr, f_inv,
+                         b_eidx, b_nbr, b_inv)
+    # assemble without scatters: expand hub rows via the static hub_pos map
+    ni_ext = jnp.concatenate(
+        [ni_hub, jnp.zeros((1, ni_hub.shape[1]), ni_hub.dtype)], axis=0)
+    out_u = tail[:n_users] + nu
+    out_i = tail[n_users:] + ni_ext.at[hub_pos].get(
+        mode="promise_in_bounds")
+    return jnp.concatenate([out_u, out_i], axis=0)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _hybrid_sym_prop(n_users, n_items, shapes, R, hub_ids, hub_pos, att,
+                     f_eidx, f_nbr, f_inv, b_eidx, b_nbr, b_inv, x):
+    """A_hat @ x via the hub-dense + ELL-tail hybrid. A_hat is the
+    SYMMETRIC-normalized adjacency (A^T = A), so the backward pass applies
+    the identical operator to the cotangent — no transposed index structures
+    and no scatters anywhere in fwd or bwd."""
+    return _hybrid_apply(n_users, n_items, shapes, R, hub_ids, hub_pos, att,
+                         f_eidx, f_nbr, f_inv, b_eidx, b_nbr, b_inv, x)
+
+
+def _hybrid_fwd(n_users, n_items, shapes, R, hub_ids, hub_pos, att,
+                f_eidx, f_nbr, f_inv, b_eidx, b_nbr, b_inv, x):
+    out = _hybrid_apply(n_users, n_items, shapes, R, hub_ids, hub_pos, att,
+                        f_eidx, f_nbr, f_inv, b_eidx, b_nbr, b_inv, x)
+    return out, (R, hub_ids, hub_pos, att, f_eidx, f_nbr, f_inv,
+                 b_eidx, b_nbr, b_inv)
+
+
+def _hybrid_bwd(n_users, n_items, shapes, res, g):
+    (R, hub_ids, hub_pos, att, f_eidx, f_nbr, f_inv,
+     b_eidx, b_nbr, b_inv) = res
+    gx = _hybrid_apply(n_users, n_items, shapes, R, hub_ids, hub_pos, att,
+                       f_eidx, f_nbr, f_inv, b_eidx, b_nbr, b_inv, g)
+    return (None, None, None, None, None, None, None, None, None, None, gx)
+
+
+_hybrid_sym_prop.defvjp(_hybrid_fwd, _hybrid_bwd)

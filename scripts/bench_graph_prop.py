@@ -9,10 +9,11 @@ HBM):
   ell16     same, x gathered in bf16 (fp32 accumulate)
   hub       dense bf16 (n_users, H) matmul over top-H items by degree,
             measured alone to calibrate the hybrid split point
+  hybrid    the shipped hub-dense + ELL-tail operator (ops/graph.py)
 
 Each is timed as a 2-layer LightGCN-style propagate under value_and_grad
 (the real per-step cost shape). Usage:
-  python scripts/bench_graph_prop.py [spmm ell32 ell16 hub]
+  python scripts/bench_graph_prop.py [spmm hybrid ell32 ell16 hub]
 """
 
 import os
@@ -55,14 +56,24 @@ def rand_params(shapes, dtype=jnp.float32):
             for n, (k, s) in enumerate(shapes.items())}
 
 
+def _sync(out):
+    """jax.block_until_ready is unreliable on the axon remote backend
+    (measured returning before execution); fetching a scalar output to host
+    is the only trustworthy sync."""
+    val = out[0] if isinstance(out, tuple) else out
+    float(np.asarray(val))
+
+
 def time_fn(fn, *args, iters=5):
     out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
+    _sync(out)
+    ts = []
     for _ in range(iters):
+        t0 = time.time()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / iters
+        _sync(out)
+        ts.append(time.time() - t0)
+    return min(ts)
 
 
 def loss_through(prop, params):
@@ -75,13 +86,16 @@ def loss_through(prop, params):
     return jnp.sum(acc ** 2) * 1e-9
 
 
-def bench_spmm(u, i, w):
+def bench_prop(u, i, w, hybrid):
     from recbole_tpu.ops.graph import BipartiteProp
     import scipy.sparse as sp
     mat = sp.csr_matrix((np.ones(len(u), np.float32), (u, i)),
                         shape=(N_USERS, N_ITEMS))
-    # force the sparse path
-    prop = BipartiteProp(mat, N_USERS, N_ITEMS, dense_budget=0)
+    # force the non-dense path
+    prop = BipartiteProp(mat, N_USERS, N_ITEMS, dense_budget=0,
+                         hybrid=hybrid)
+    if hybrid:
+        print(f"  (hub size: {prop.hub_size} items)")
     consts = prop.init_consts()
     params = rand_params({"ue": (N_USERS, D), "ie": (N_ITEMS, D)})
 
@@ -157,13 +171,16 @@ def bench_hub(u, i, w, H=8192, dtype=jnp.bfloat16):
 
 
 def main():
-    which = sys.argv[1:] or ["spmm", "ell32", "ell16", "hub"]
+    which = sys.argv[1:] or ["spmm", "hybrid", "ell32", "ell16", "hub"]
     u, i, w = synth_edges()
     print(f"edges (deduped, directed x2): {2 * len(u):,}")
     for name in which:
         if name == "spmm":
-            t = bench_spmm(u, i, w)
+            t = bench_prop(u, i, w, hybrid=False)
             print(f"spmm   2-layer fwd+bwd: {t * 1e3:8.1f} ms/step")
+        elif name == "hybrid":
+            t = bench_prop(u, i, w, hybrid=True)
+            print(f"hybrid 2-layer fwd+bwd: {t * 1e3:8.1f} ms/step")
         elif name == "ell32":
             t = bench_ell(u, i, w, jnp.float32)
             print(f"ell32  2-layer fwd+bwd: {t * 1e3:8.1f} ms/step")

@@ -225,7 +225,7 @@ def test_bipartite_prop_dense_matches_sparse():
     mat = sp.coo_matrix((np.ones(nnz, np.float32), (u, i)),
                         shape=(n_u, n_i)).tocsr()
     dense = BipartiteProp(mat, n_u, n_i)
-    sparse = BipartiteProp(mat, n_u, n_i, dense_budget=1)
+    sparse = BipartiteProp(mat, n_u, n_i, dense_budget=1, hybrid=False)
     assert dense.dense and not sparse.dense
     x = jnp.asarray(rng.randn(n_u + n_i, 16).astype(np.float32))
     import jax
@@ -237,6 +237,70 @@ def test_bipartite_prop_dense_matches_sparse():
     np.testing.assert_allclose(np.asarray(dense(dense.init_consts(), x)),
                                np.asarray(sparse(sparse.init_consts(), x)),
                                rtol=tol, atol=tol)
+
+
+def test_bipartite_prop_hybrid_matches_dense():
+    """Hub-dense + ELL-tail hybrid (the Yelp-scale path, ops/graph.py)
+    matches the exact dense path: values and grads, hub and tail both
+    non-empty, on a power-law item-popularity graph. The hub block is
+    stored bf16, hence the loose tolerance."""
+    import scipy.sparse as sp
+    import jax
+    from recbole_tpu.ops import graph as G
+    rng = np.random.RandomState(1)
+    n_u, n_i, nnz = 120, 90, 3000
+    u = rng.randint(0, n_u, nnz)
+    i = np.floor((n_i - 1) * rng.random(nnz) ** 2.2).astype(np.int64)
+    mat = sp.coo_matrix((np.ones(nnz, np.float32), (u, i)),
+                        shape=(n_u, n_i)).tocsr()
+    dense = G.BipartiteProp(mat, n_u, n_i)
+    hyb = G.BipartiteProp(mat, n_u, n_i, dense_budget=1)
+    assert hyb.hybrid and not hyb.dense
+    assert 0 < hyb.hub_size < n_i  # both halves exercised
+    x = jnp.asarray(rng.randn(n_u + n_i, 16).astype(np.float32))
+    yd = np.asarray(dense(dense.init_consts(), x))
+    yh = np.asarray(hyb(hyb.init_consts(), x))
+    scale = np.abs(yd).max()
+    np.testing.assert_allclose(yh, yd, atol=1.2e-2 * scale)
+    gd = jax.grad(lambda a: jnp.sum(dense(dense.init_consts(), a) ** 2))(x)
+    gh = jax.grad(lambda a: jnp.sum(hyb(hyb.init_consts(), a) ** 2))(x)
+    gs = np.abs(np.asarray(gd)).max()
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(gd),
+                               atol=1.2e-2 * gs)
+
+
+def test_bipartite_prop_hybrid_extremes():
+    """Hybrid with an all-hub graph (every item above threshold) and an
+    all-tail graph (uniform low degree) both stay correct."""
+    import scipy.sparse as sp
+    from recbole_tpu.ops import graph as G
+    rng = np.random.RandomState(2)
+    # all-hub: few items, many users -> every item degree > threshold
+    n_u, n_i, nnz = 200, 4, 800
+    u = rng.randint(0, n_u, nnz)
+    i = rng.randint(0, n_i, nnz)
+    mat = sp.coo_matrix((np.ones(nnz, np.float32), (u, i)),
+                        shape=(n_u, n_i)).tocsr()
+    dense = G.BipartiteProp(mat, n_u, n_i)
+    hyb = G.BipartiteProp(mat, n_u, n_i, dense_budget=1)
+    assert hyb.hub_size == n_i
+    x = jnp.asarray(rng.randn(n_u + n_i, 8).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(hyb(hyb.init_consts(), x)),
+                               np.asarray(dense(dense.init_consts(), x)),
+                               atol=2e-2)
+    # all-tail: every item degree 1 (below any threshold)
+    n_u2, n_i2 = 40, 64
+    u2 = rng.randint(0, n_u2, n_i2)
+    i2 = np.arange(n_i2)
+    mat2 = sp.coo_matrix((np.ones(n_i2, np.float32), (u2, i2)),
+                         shape=(n_u2, n_i2)).tocsr()
+    dense2 = G.BipartiteProp(mat2, n_u2, n_i2)
+    hyb2 = G.BipartiteProp(mat2, n_u2, n_i2, dense_budget=1)
+    assert hyb2.hub_size == 0
+    x2 = jnp.asarray(rng.randn(n_u2 + n_i2, 8).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(hyb2(hyb2.init_consts(), x2)),
+                               np.asarray(dense2(dense2.init_consts(), x2)),
+                               atol=1e-4)
 
 
 def test_fused_transformer_layer_matches_xla():
@@ -310,7 +374,7 @@ def test_chunked_spmm_matches_dense():
     old_chunk = G.EDGE_CHUNK
     try:
         G.EDGE_CHUNK = 128  # force multi-chunk at test size
-        sparse = G.BipartiteProp(m, n_u, n_i, dense_budget=1)
+        sparse = G.BipartiteProp(m, n_u, n_i, dense_budget=1, hybrid=False)
     finally:
         G.EDGE_CHUNK = old_chunk
     assert not sparse.dense
