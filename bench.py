@@ -1,12 +1,20 @@
-"""Benchmark: BPR training throughput on an ml-1m-shaped dataset.
+"""Benchmark: the two headline numbers from BASELINE.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per benchmark ({"metric", "value", "unit",
+"vs_baseline"}); the BPR line is LAST (the driver parses the final line).
 
-Baseline: the reference's published BPRMF ml-1m training time of 1.93 s/epoch
-on a TITAN RTX (asset/time_test_result/General_recommendation.md:30). With the
-same protocol (RO_RS 0.8 train split of 1,000,209 interactions = ~800,167
-examples/epoch, batch 2048, 1 uniform negative per positive), that is
-~414,594 examples/s. vs_baseline = our examples/s / reference examples/s.
+1. DeepFM training throughput at the reference's exact Criteo shape
+   (2,292,530 rows, 13 float + 26 token fields, 2,572,192 features).
+   Baseline: 13.64 s/epoch on a TITAN RTX
+   (asset/time_test_result/Context-aware_recommendation.md:52) = ~134,459
+   examples/s over the 1,834,024-example RO_RS 0.8 train split.
+
+2. BPR training throughput on an ml-1m-shaped dataset.
+   Baseline: the reference's published BPRMF ml-1m training time of 1.93
+   s/epoch on a TITAN RTX (General_recommendation.md:30). With the same
+   protocol (RO_RS 0.8 train split of 1,000,209 interactions = ~800,167
+   examples/epoch, batch 2048, 1 uniform negative per positive), that is
+   ~414,594 examples/s. vs_baseline = our examples/s / reference examples/s.
 
 ml-1m itself isn't shipped in this image, so we synthesize a dataset with
 ml-1m's exact shape (6040 users, 3706 items, 1,000,209 interactions, zipf-ish
@@ -42,7 +50,32 @@ def synth_ml1m(root):
     return uids, iids, ts
 
 
+def bench_deepfm_criteo():
+    """DeepFM at the reference's exact Criteo shape, via the same harness
+    PARITY.md's CTR tables were measured with (scripts/bench_ctr.py)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import bench_ctr
+
+    ref_train_s = bench_ctr.REFERENCE["criteo"]["DeepFM"][0]       # 13.64
+    n_train = int(bench_ctr.SHAPES["criteo"]["n"] * 0.8)           # RO_RS 0.8
+    ref_throughput = n_train / ref_train_s
+    train_s, _eval_s = bench_ctr.bench_model("DeepFM", "criteo", epochs=2)
+    throughput = n_train / train_s
+    print(json.dumps({
+        "metric": "DeepFM criteo-shape train throughput (examples/s/chip)",
+        "value": round(throughput, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(throughput / ref_throughput, 3),
+    }), flush=True)
+
+
 def main():
+    try:
+        bench_deepfm_criteo()
+    except Exception as e:  # noqa: BLE001 — the BPR headline line must
+        print(f"deepfm-criteo bench failed: {e}", file=sys.stderr)  # survive
+
     from recbole_tpu.config.configurator import Config
     from recbole_tpu.data.dataset import Dataset
     from recbole_tpu.data.utils import data_preparation
