@@ -50,17 +50,35 @@ class LightGCN(GeneralRecommender):
         self.n_layers = config["n_layers"]
         self.reg_weight = config["reg_weight"]
         from ...ops.graph import BipartiteProp
-        self.prop = BipartiteProp(dataset.inter_matrix("csr"),
-                                  self.n_users, self.n_items)
+        inter = dataset.inter_matrix("csr")
+        self.prop = BipartiteProp(inter, self.n_users, self.n_items)
         self.scan_epochs_ok = not self.prop.heavy
         self.n_nodes = self.n_users + self.n_items
+        # batch-restricted training step (ops/bitgraph.py): the propagation
+        # is linear, so a step needs only TWO full adjacency applications
+        # (not 2*n_layers) plus packed-bit restricted ops at the batch rows.
+        # Worth the extra ~2x E/8-byte consts only where propagation is
+        # expensive, i.e. off the small-graph dense path; config
+        # `use_restricted_step` overrides (tests force it on tiny graphs).
+        use_res = config.get("use_restricted_step")
+        self.use_restricted = (not self.prop.dense) if use_res is None \
+            else bool(use_res)
+        if self.use_restricted:
+            from ...ops.bitgraph import BitRestrictedGraph, LinearPropBatch
+            self.bitgraph = BitRestrictedGraph(inter, self.n_users,
+                                               self.n_items)
+            self.lpb = LinearPropBatch(self.prop, self.n_users, self.n_items,
+                                       self.n_layers)
 
     def init_params(self, rng):
         ku, ki = jax.random.split(rng)
+        const = self.prop.init_consts()
+        if self.use_restricted:
+            const = {**const, **self.bitgraph.init_consts()}
         return {
             "user_embedding": xavier_uniform(ku, (self.n_users, self.embedding_size)),
             "item_embedding": xavier_uniform(ki, (self.n_items, self.embedding_size)),
-            "_const": self.prop.init_consts(),
+            "_const": const,
         }
 
     def propagate(self, params):
@@ -75,19 +93,28 @@ class LightGCN(GeneralRecommender):
         return final[:self.n_users], final[self.n_users:]
 
     def calculate_loss(self, params, batch, rng=None):
-        ue, ie = self.propagate(params)
         u = batch[self.USER_ID]
         pos = batch[self.ITEM_ID]
         neg = batch[self.NEG_ITEM_ID]
-        pos_score = jnp.sum(ue[u] * ie[pos], axis=-1)
-        neg_score = jnp.sum(ue[u] * ie[neg], axis=-1)
+        if self.use_restricted:
+            rows_i = jnp.concatenate([pos, neg])
+            e_u, e_i = self.lpb(params["_const"], params["user_embedding"],
+                                params["item_embedding"], u, rows_i)
+            pos_e_f, neg_e_f = e_i[:pos.shape[0]], e_i[pos.shape[0]:]
+            pos_score = jnp.sum(e_u * pos_e_f, axis=-1)
+            neg_score = jnp.sum(e_u * neg_e_f, axis=-1)
+        else:
+            ue, ie = self.propagate(params)
+            pos_score = jnp.sum(ue[u] * ie[pos], axis=-1)
+            neg_score = jnp.sum(ue[u] * ie[neg], axis=-1)
         mf_loss = bpr_loss(pos_score, neg_score, batch.get("_weight"))
         # EmbLoss over ego (pre-propagation) batch embeddings (parity:
         # reference lightgcn.py:146-155); padded scan rows masked via _weight
+        from ...ops.bitgraph import take_rows
         w = batch.get("_weight")
-        u_e = params["user_embedding"][u]
-        pos_e = params["item_embedding"][pos]
-        neg_e = params["item_embedding"][neg]
+        u_e = take_rows(self.n_users, params["user_embedding"], u)
+        pos_e = take_rows(self.n_items, params["item_embedding"], pos)
+        neg_e = take_rows(self.n_items, params["item_embedding"], neg)
         if w is not None:
             u_e = u_e * w[:, None]
             pos_e = pos_e * w[:, None]

@@ -466,6 +466,39 @@ class Trainer:
             raise ValueError(f"Training loss is nan at epoch {epoch_idx}")
         return tuple(total.tolist()) if len(total) > 1 else float(total[0])
 
+    def cost_analysis(self, train_data, mode="rs"):
+        """XLA cost analysis of the compiled training program: per-step
+        flops and bytes-accessed estimates, for the MFU / HBM-utilization
+        columns in scripts/bench_models.py. Returns None when the backend
+        doesn't expose cost analysis. ``bytes`` is XLA's per-op sum, which
+        over-counts VMEM-resident reuse — treat as an upper bound."""
+        bundle = self._build_mode(train_data, mode)
+        try:
+            if bundle["epoch_fn"] is not None:
+                lowered = bundle["epoch_fn"].lower(
+                    self.params, self.opt_state, self.rng, jnp.int32(0),
+                    bundle["columns"], bundle["consts"])
+                per = bundle["steps"]
+            else:
+                batch = dict(next(iter(bundle["loader"])))
+                batch["_step"] = np.int32(0)
+                batch = {f: jnp.asarray(v) for f, v in batch.items()}
+                lowered = bundle["step"].lower(
+                    self.params, self.opt_state, self.rng, batch,
+                    bundle["consts"])
+                per = 1
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            if not ca:
+                return None
+            return {"flops_per_step": float(ca.get("flops", 0.0)) / per,
+                    "bytes_per_step": float(
+                        ca.get("bytes accessed", 0.0)) / per,
+                    "steps_per_epoch": per}
+        except Exception:  # noqa: BLE001 — diagnostics only, never fatal
+            return None
+
     def _mask_const_subtree(self):
         """Exclude the model's params["_const"] subtree (dataset-derived
         device constants — adjacency matrices, history tables) from

@@ -170,6 +170,102 @@ def bench_hub(u, i, w, H=8192, dtype=jnp.bfloat16):
     return t, frac
 
 
+def bench_step(u, i, w, restricted, batch=2048, iters=10):
+    """Full LightGCN-style TRAINING STEP at Yelp shape: BPR loss over a
+    2048-batch + value_and_grad + SGD-style update, chained ``iters`` times
+    inside one jit so the ~27ms axon dispatch round-trip amortizes away and
+    nothing can be DCE'd (the update consumes every gradient).
+
+    restricted=True -> ops/bitgraph.py LinearPropBatch (2 full applies);
+    False -> classic full propagate + gather (4 full applies)."""
+    from recbole_tpu.ops.graph import BipartiteProp
+    from recbole_tpu.ops.bitgraph import (BitRestrictedGraph, LinearPropBatch,
+                                          take_rows)
+    import scipy.sparse as sp
+    mat = sp.csr_matrix((np.ones(len(u), np.float32), (u, i)),
+                        shape=(N_USERS, N_ITEMS))
+    prop = BipartiteProp(mat, N_USERS, N_ITEMS, dense_budget=0)
+    consts = dict(prop.init_consts())
+    if restricted:
+        bg = BitRestrictedGraph(mat, N_USERS, N_ITEMS)
+        consts.update(bg.init_consts())
+        lpb = LinearPropBatch(prop, N_USERS, N_ITEMS, 2)
+    # the axon tunnel uploads at only a few MB/s, so shipping the ~5GB of
+    # real consts dominates wall clock; regenerate SHAPE-EQUIVALENT random
+    # consts on-device instead (step time depends on shapes/density, not
+    # values: matmuls/unpacks are value-oblivious and the ELL gather index
+    # distribution is random either way)
+    key = jax.random.PRNGKey(7)
+    big = {}
+    for name, v in consts.items():
+        if v.nbytes < 16 << 20:
+            continue
+        key, k = jax.random.split(key)
+        if v.dtype == jnp.uint8:
+            big[name] = jax.random.randint(k, v.shape, 0, 256,
+                                           jnp.int32).astype(jnp.uint8)
+        elif v.dtype in (jnp.int32, jnp.int64):
+            hi = max(int(np.asarray(v).max()), 1)
+            big[name] = jax.random.randint(k, v.shape, 0, hi + 1, v.dtype)
+        else:
+            big[name] = (jax.random.normal(k, v.shape) * 0.01).astype(v.dtype)
+    consts = {k_: big.get(k_, jnp.asarray(v)) for k_, v in consts.items()}
+    params = rand_params({"ue": (N_USERS, D), "ie": (N_ITEMS, D)})
+    rng = np.random.RandomState(0)
+    bu = jnp.asarray(rng.randint(0, N_USERS, batch).astype(np.int32))
+    bp = jnp.asarray(rng.randint(0, N_ITEMS, batch).astype(np.int32))
+    bn = jnp.asarray(rng.randint(0, N_ITEMS, batch).astype(np.int32))
+
+    def loss_fn(p, consts, bu, bp, bn):
+        if restricted:
+            rows_i = jnp.concatenate([bp, bn])
+            e_u, e_i = lpb(consts, p["ue"], p["ie"], bu, rows_i)
+            pe, ne = e_i[:batch], e_i[batch:]
+        else:
+            x = jnp.concatenate([p["ue"], p["ie"]], axis=0)
+            acc = x
+            for _ in range(2):
+                x = prop(consts, x)
+                acc = acc + x
+            final = acc / 3.0
+            e_u = final[bu]
+            pe = final[N_USERS + bp]
+            ne = final[N_USERS + bn]
+        scores = jnp.sum(e_u * (pe - ne), axis=-1)
+        mf = -jnp.mean(jax.nn.log_sigmoid(scores))
+        reg = (jnp.sum(take_rows(N_USERS, p["ue"], bu) ** 2)
+               + jnp.sum(take_rows(N_ITEMS, p["ie"], bp) ** 2)
+               + jnp.sum(take_rows(N_ITEMS, p["ie"], bn) ** 2)) / batch
+        return mf + 1e-5 * reg
+
+    @jax.jit
+    def run(params, consts, bu, bp, bn):
+        def body(k, carry):
+            p, bu, bp, bn = carry
+            _, g = jax.value_and_grad(loss_fn)(p, consts, bu, bp, bn)
+            p = jax.tree.map(lambda a, b: a - 1e-4 * b, p, g)
+            return (p, jnp.roll(bu, 1), jnp.roll(bp, 1), jnp.roll(bn, 1))
+        p, *_ = jax.lax.fori_loop(0, iters, body, (params, bu, bp, bn))
+        return p["ue"][0, :1]
+
+    t0 = time.time()
+    consts = jax.device_put(consts)
+    params = jax.device_put(params)
+    jax.block_until_ready((consts, params))
+    print(f"  consts upload: {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    out = run(params, consts, bu, bp, bn)
+    _sync(out)
+    print(f"  compile+first run: {time.time() - t0:.1f}s", flush=True)
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        out = run(params, consts, bu, bp, bn)
+        _sync(out)
+        ts.append(time.time() - t0)
+    return min(ts) / iters
+
+
 def main():
     which = sys.argv[1:] or ["spmm", "hybrid", "ell32", "ell16", "hub"]
     u, i, w = synth_edges()
@@ -187,6 +283,14 @@ def main():
         elif name == "ell16":
             t = bench_ell(u, i, w, jnp.bfloat16)
             print(f"ell16  2-layer fwd+bwd: {t * 1e3:8.1f} ms/step")
+        elif name == "step":
+            t = bench_step(u, i, w, restricted=True)
+            print(f"restricted train step (2 full applies): {t*1e3:8.1f} ms "
+                  f"-> {t * 1134:6.1f} s/epoch @2048 (ref 67.9)")
+        elif name == "fullstep":
+            t = bench_step(u, i, w, restricted=False)
+            print(f"classic train step (4 full applies):    {t*1e3:8.1f} ms "
+                  f"-> {t * 1134:6.1f} s/epoch @2048 (ref 67.9)")
         elif name == "hub":
             for H in (4096, 8192, 16384):
                 t, frac = bench_hub(u, i, w, H)

@@ -74,6 +74,11 @@ REFERENCE = {
 
 N_USERS, N_ITEMS, N_INTER = 6040, 3706, 1_000_209
 
+# TPU v5e (v5 lite) single-chip spec peaks; measured ceilings on this chip
+# are ~167 TFLOPS bf16 (8192^3 matmul) and ~660-790 GB/s effective stream
+PEAK_FLOPS = 197e12
+PEAK_BW = 819e9
+
 
 def synth_ml1m_dir(root="/tmp/bench_ml1m_synth"):
     """ml-1m-shaped atomic files (written once, reused)."""
@@ -154,26 +159,39 @@ def bench_model(model, data_path, epochs=3):
     jax.block_until_ready(trainer.params)
     train_s = (time.time() - t0) / epochs
 
+    # MFU / HBM utilization from XLA's own cost analysis of the compiled
+    # train program (flops exact up to fusion choices; bytes an upper bound
+    # that counts VMEM-resident reuse)
+    mfu = bw = float("nan")
+    ca = trainer.cost_analysis(train)
+    if ca:
+        ep_flops = ca["flops_per_step"] * ca["steps_per_epoch"]
+        ep_bytes = ca["bytes_per_step"] * ca["steps_per_epoch"]
+        mfu = ep_flops / train_s / PEAK_FLOPS
+        bw = ep_bytes / train_s / PEAK_BW
+
     trainer.evaluate(test, load_best_model=False)   # compile
     t0 = time.time()
     trainer.evaluate(test, load_best_model=False)
     eval_s = time.time() - t0
-    return train_s, eval_s
+    return train_s, eval_s, mfu, bw
 
 
 def main():
     models = sys.argv[1:] or list(REFERENCE)
     root = synth_ml1m_dir()
     print(f"{'model':<12} {'train s/ep':>10} {'ref':>7} {'x':>6}"
+          f" {'MFU%':>6} {'BW%':>6}"
           f" {'eval s/ep':>10} {'ref':>7} {'x':>7}")
     for model in models:
         try:
-            tr, ev = bench_model(model, root)
+            tr, ev, mfu, bw = bench_model(model, root)
         except Exception as e:  # noqa: BLE001 — report and continue
             print(f"{model:<12} FAILED: {str(e)[:80]}")
             continue
         rt, re_ = REFERENCE.get(model, (float("nan"), float("nan")))
         print(f"{model:<12} {tr:>10.3f} {rt:>7.2f} {rt / tr:>6.1f}"
+              f" {mfu * 100:>6.1f} {bw * 100:>6.1f}"
               f" {ev:>10.3f} {re_:>7.2f} {re_ / ev:>7.1f}")
 
 

@@ -167,3 +167,25 @@ print("mesh fit ok", r["test_result"])
     r = _run(code)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mesh fit ok" in r.stdout
+
+
+def test_bench_multihost_virtual_mesh():
+    """scripts/bench_multihost.py runs end-to-end (tiny shapes, BPR only)
+    on an 8-device virtual CPU mesh and reports sane throughput."""
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import runpy, sys
+sys.argv = ["bench_multihost.py", "--tiny", "--which=bpr", "--epochs=1",
+            "--baseline_bpr=1000"]
+runpy.run_path("scripts/bench_multihost.py", run_name="__main__")
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+    lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+    assert lines, r.stdout[-2000:]
+    rec = json.loads(lines[-1])
+    assert rec["n_devices"] == 8
+    assert rec["value"] > 0
+    assert "scaling_efficiency" in rec
