@@ -38,6 +38,10 @@ class NeuMF(GeneralRecommender):
         out_in = (self.mf_dim if self.mf_train else 0) + \
                  (self.mlp_hidden[-1] if self.mlp_train else 0)
         self.out_in = out_in
+        # per-(user,item)-pair transient estimate for the trainer's
+        # auto-sized chunked eval fallback (512MB budget rule)
+        self.eval_pair_bytes = 8 * (2 * self.mlp_dim + sum(self.mlp_hidden)
+                                    + (self.mf_dim if self.mf_train else 0))
 
     def init_params(self, rng):
         # embeddings normal(0, 0.01); Linear layers keep torch DEFAULT init

@@ -87,9 +87,13 @@ class BipartiteProp:
         # compiles/executes pathologically (scan-of-scan over millions of
         # edges per step, and the 2-layer fwd+bwd chain OOM-crashed the TPU
         # worker at Yelp scale before chunking); models consuming a heavy
-        # operator advertise scan_epochs_ok=False and stream per-batch
-        self.heavy = (not self.dense) and len(u) * 2 > EDGE_CHUNK
+        # operator advertise scan_epochs_ok=False and stream per-batch.
+        # The HYBRID path has no inner scan and fixed-shape transients, so
+        # it stays scan-safe — important on remote/tunneled accelerators
+        # where per-batch streaming pays ~27ms dispatch latency per step
         self.hybrid = (not self.dense) and norm == "sym" and hybrid
+        self.heavy = ((not self.dense) and (not self.hybrid)
+                      and len(u) * 2 > EDGE_CHUNK)
         if self.hybrid:
             self._build_hybrid(u, i, wu, hub_budget)
             return

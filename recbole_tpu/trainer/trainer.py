@@ -646,6 +646,7 @@ class Trainer:
             "cur_step": self.cur_step,
             "train_loss_dict": dict(self.train_loss_dict),
             "best_valid_score": self.best_valid_score,
+            "best_valid_result": self.best_valid_result,
             "params": jax.tree.map(np.asarray, self.params),
             "opt_state": jax.tree.map(
                 lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x,
@@ -664,6 +665,10 @@ class Trainer:
         self.cur_step = state.get("cur_step", 0)
         self.train_loss_dict = dict(state.get("train_loss_dict", {}))
         self.best_valid_score = state["best_valid_score"]
+        # restore the result dict too, so a resumed fit that never improves
+        # on the restored best still returns the checkpointed result rather
+        # than None (run-to-run RNG decides which — was a flaky gap)
+        self.best_valid_result = state.get("best_valid_result")
         self.params = jax.tree.map(jnp.asarray, state["params"])
         self.opt_state = jax.tree.map(
             lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
@@ -781,16 +786,33 @@ class Trainer:
             if has_full_sort:
                 return model.full_sort_predict(params, batch)
             # fallback: chunked score_items over the item axis (parity:
-            # reference _spilt_predict, trainer.py:333-340,414-428)
+            # reference _spilt_predict, trainer.py:333-340,414-428).
+            # eval_score_dtype=bfloat16 runs the per-chunk towers on the
+            # bf16 MXU (same opt-in + A/B gate as the fused dot-product
+            # path; consts stay f32 via bind_consts); chunk auto-sizes to a
+            # 512MB transient budget when the model provides an
+            # eval_pair_bytes estimate.
             B = batch[uid_f].shape[0]
-            chunk = min(2048, n_items)
+            pair_bytes = int(getattr(model, "eval_pair_bytes", 0) or 0)
+            if pair_bytes:
+                budget = 512 << 20
+                chunk = min(n_items,
+                            max(128, budget // (B * pair_bytes) // 128 * 128))
+            else:
+                chunk = min(2048, n_items)
             n_chunks = -(-n_items // chunk)
             items = jnp.arange(n_chunks * chunk, dtype=jnp.int32) % n_items
             items = items.reshape(n_chunks, chunk)
+            p = params
+            if use_bf16:
+                p = jax.tree.map(
+                    lambda a: (a.astype(jnp.bfloat16)
+                               if getattr(a, "dtype", None) == jnp.float32
+                               else a), params)
 
             def score_chunk(item_chunk):
                 cand = jnp.broadcast_to(item_chunk[None, :], (B, chunk))
-                return model.score_items(params, batch, cand)
+                return model.score_items(p, batch, cand)
 
             scores = jax.lax.map(score_chunk, items)          # (n_chunks, B, chunk)
             return scores.transpose(1, 0, 2).reshape(B, -1)[:, :n_items]

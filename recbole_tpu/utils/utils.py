@@ -13,9 +13,12 @@ import numpy as np
 def init_jax(config) -> None:
     """Process-level jax setup: platform override, multi-host bootstrap,
     persistent compilation cache. Must run before the first jax device use."""
-    if config["platform"]:
+    # env override first (some TPU plugins re-force JAX_PLATFORMS, so the
+    # env var alone is unreliable; jax.config is the authoritative switch)
+    platform = os.environ.get("RECBOLE_TPU_PLATFORM") or config["platform"]
+    if platform:
         import jax
-        jax.config.update("jax_platforms", config["platform"])
+        jax.config.update("jax_platforms", platform)
     if config["distributed_auto_init"] or config["distributed_coordinator"]:
         import jax
         kwargs = {}

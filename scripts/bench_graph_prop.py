@@ -267,6 +267,12 @@ def bench_step(u, i, w, restricted, batch=2048, iters=10):
 
 
 def main():
+    try:  # persistent compile cache: reruns skip the multi-minute compiles
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/recbole_tpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # noqa: BLE001 — older jax
+        pass
     which = sys.argv[1:] or ["spmm", "hybrid", "ell32", "ell16", "hub"]
     u, i, w = synth_edges()
     print(f"edges (deduped, directed x2): {2 * len(u):,}")

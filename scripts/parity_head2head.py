@@ -47,6 +47,9 @@ PRESETS = {
     "seq": {
         "eval_setting": "TO_LS,full",
         "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
+        # SASRec-family default loss is CE; the reference requires no
+        # negative sampling with CE (configurator.py:280)
+        "training_neg_sample_num": 0,
     },
     "gen": {
         "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"]},
@@ -101,6 +104,10 @@ def main():
             # Each run gets a fresh process: the reference pollutes global
             # torch/logging state, and JAX vs torch-OMP thread pools fight.
             w = json.loads(v)
+            plat = os.environ.get("RECBOLE_H2H_PLATFORM")
+            if plat and w["side"] == "tpu":
+                import jax
+                jax.config.update("jax_platforms", plat)
             fn = run_ref if w["side"] == "ref" else run_tpu
             print("H2H_RESULT " + json.dumps(
                 fn(w["model"], w["cfg"], w["seed"])))

@@ -241,3 +241,22 @@ def test_case_study_binds_trained_consts(synth_dataset_dir, tmp_path):
     np.testing.assert_allclose(got[finite],
                                want[finite.nonzero()[0], finite.nonzero()[1]],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fallback_bf16_eval_matches_f32(synth_dataset_dir, tmp_path):
+    """The chunked score_items eval fallback (NeuMF-class models without a
+    dot-product factorization) must reproduce its f32 metrics when
+    eval_score_dtype=bfloat16 casts the per-chunk towers to the MXU, and
+    honor the auto-sized chunk budget (eval_pair_bytes)."""
+    base = {"model": "NeuMF", "dataset": "synth",
+            "data_path": synth_dataset_dir,
+            "checkpoint_dir": str(tmp_path / "saved"),
+            "log_dir": str(tmp_path / "log"),
+            "epochs": 2, "state": "ERROR", "scan_epochs": False,
+            "seed": 42, "valid_full_to_uni1000": False}
+    r1 = objective_function(config_dict=dict(base), saved=False)
+    r2 = objective_function(config_dict={**base,
+                                         "eval_score_dtype": "bfloat16"},
+                            saved=False)
+    for k, v in r1["test_result"].items():
+        assert abs(v - r2["test_result"][k]) < 0.02, (k, v, r2["test_result"][k])

@@ -217,3 +217,28 @@ def test_lightgcn_restricted_end_to_end(synth_dataset_dir, tmp_path):
     assert tr
     for k, v in tr.items():
         assert 0.0 <= v <= 1.0, f"metric {k}={v} out of range"
+
+
+def test_trainer_cost_analysis(synth_dataset_dir):
+    """Trainer.cost_analysis returns per-step flops/bytes for the compiled
+    train program (backs the MFU columns in scripts/bench_models.py)."""
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.data.utils import create_dataset, data_preparation
+    from recbole_tpu.models import get_model
+    from recbole_tpu.trainer.trainer import get_trainer
+
+    cfg = Config("BPR", "synth", config_dict={
+        "data_path": synth_dataset_dir, "state": "ERROR",
+        "epochs": 1, "scan_epochs": True,
+        "valid_full_to_uni1000": False}, _parse_cmd_line=False)
+    ds = create_dataset(cfg)
+    train, valid, test = data_preparation(cfg, ds)
+    model = get_model("BPR")(cfg, train.dataset)
+    trainer = get_trainer(cfg["MODEL_TYPE"], "BPR")(cfg, model)
+    trainer.prepare(train)
+    ca = trainer.cost_analysis(train)
+    if ca is None:
+        import pytest
+        pytest.skip("backend exposes no cost analysis")
+    assert ca["flops_per_step"] > 0
+    assert ca["steps_per_epoch"] >= 1

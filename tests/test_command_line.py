@@ -16,7 +16,10 @@ def test_run_py_subprocess(synth_dataset_dir, tmp_path):
     """run.py end-to-end with typed --k=v args: int, float, scientific
     float, list, eval-protocol string and bool all must coerce."""
     env = dict(os.environ, RECBOLE_TPU_TEST_PLATFORM="cpu",
-               JAX_PLATFORMS="cpu")
+               JAX_PLATFORMS="cpu",
+               # the axon plugin re-forces JAX_PLATFORMS; this one is read
+               # by init_jax and applied via jax.config (reliable)
+               RECBOLE_TPU_PLATFORM="cpu")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "run.py"),
          "--model=BPR", "--dataset=synth",
