@@ -23,21 +23,26 @@ import jax.numpy as jnp
 DENSE_ENTRY_BUDGET = 256_000_000
 
 # --- hybrid (hub-dense + ELL-tail) path constants --------------------------
-# Measured on TPU v5e (scripts/bench_graph_prop.py + scalar-synced
-# microbenches, 2026-08-19): XLA row gathers are ROW-RATE bound at ~7.2ns/row
-# (independent of dtype, row width 64..256, and table size 3MB..400MB), ELL
-# gather+reduce lands at ~9ns/row, and dense bf16 matmul streams R at ~590GB/s
-# effective. A dense bf16 block therefore beats edge-granular processing
-# exactly when the block's edge density exceeds
-#     bytes_per_entry / (BW_eff * gather_ns)  =  2 / (590e9 * 7.2e-9)
-# i.e. when an item's degree exceeds n_users / 2124. Items above that
-# threshold become the dense "hub"; the tail stays ELL. (User-side hubs were
-# evaluated and wash out: at Yelp shape the candidate block sits at ~1x
-# break-even.) Unsorted scatters measured ~24ms FIXED + 28ns/row on this
-# chip, so the hybrid is assembled scatter-free: static index-map gathers
-# place hub rows, and the symmetric-normalized adjacency makes the backward
-# the SAME operator (A^T = A), so the custom VJP re-runs the forward.
-HUB_BREAK_EVEN_DIV = 2124.0
+# Measured on TPU v5e. Round-3 re-measurement with CHAINED in-jit loops
+# (2026-08-20, /tmp probes: dispatch round-trip is 27ms and a roll-only loop
+# floors at 1.3ms/iter — both previously contaminated single-shot numbers):
+#   - XLA row gather: 1.54-1.9 ns/row for 64-wide rows (~150GB/s effective),
+#     identical for sorted/random indices and f32/bf16
+#   - ELL gather+einsum: ~2.7-4.7 ns/slot depending on bucket width
+#   - dense bf16 (M,C)x(C,64) matmul: HBM-BANDWIDTH bound, streams the big
+#     operand at ~660-790 GB/s (MXU true peak 167 TFLOPS at 8192^3;
+#     N=64 output width caps the MXU path at ~half peak, so bits/int8
+#     packing does NOT beat the bf16 stream here)
+#   - big cumsum: ~40ms for (4M,64) — prefix-sum reduction formulations lose
+# Break-even: a hub column costs 2 passes x n_users x 2B / 700GB/s
+# = 5.7e-12*n_users s per apply; an edge moved into the hub saves two ELL
+# slots ~6e-9 s. Items above degree n_users/1050 join the dense hub; the
+# tail stays ELL. (User-side hubs wash out at Yelp shape.) Unsorted scatters
+# measured ~24ms FIXED + 28ns/row on this chip, so the hybrid is assembled
+# scatter-free: static index-map gathers place hub rows, and the
+# symmetric-normalized adjacency makes the backward the SAME operator
+# (A^T = A), so the custom VJP re-runs the forward.
+HUB_BREAK_EVEN_DIV = 1050.0
 HUB_BUDGET_BYTES = 4 << 30
 HUB_MIN_DEG = 16.0
 
