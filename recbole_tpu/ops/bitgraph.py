@@ -130,16 +130,19 @@ def rows_to_dense(rows, vals, n):
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def take_rows(n, x, rows):
     """x[rows] with a scatter-free backward (sorted segment-sum instead of
-    XLA's scatter-add). ``n`` must equal x.shape[0]."""
+    XLA's scatter-add). ``n`` must equal x.shape[0]; ``rows`` may have any
+    shape (the backward flattens it)."""
     return x.at[rows].get(mode="promise_in_bounds")
 
 
 def _take_rows_fwd(n, x, rows):
-    return take_rows(n, x, rows), rows
+    return take_rows(n, x, rows), (rows, x.shape[1:])
 
 
-def _take_rows_bwd(n, rows, g):
-    return rows_to_dense(rows, g, n), None
+def _take_rows_bwd(n, res, g):
+    rows, tail_shape = res
+    g = g.reshape((-1,) + tuple(tail_shape))
+    return rows_to_dense(rows.reshape(-1), g, n), None
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)

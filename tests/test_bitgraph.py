@@ -242,3 +242,25 @@ def test_trainer_cost_analysis(synth_dataset_dir):
         pytest.skip("backend exposes no cost analysis")
     assert ca["flops_per_step"] > 0
     assert ca["steps_per_epoch"] >= 1
+
+
+def test_take_rows_nd_indices():
+    """take_rows with (B, L)-shaped indices: gradient equals autodiff's."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(9, 4).astype(np.float32))
+    rows = jnp.asarray(rng.randint(0, 9, (5, 3)).astype(np.int32))
+
+    def f(x):
+        return jnp.sum(jnp.tanh(take_rows(9, x, rows)) * 0.5)
+
+    def f_ref(x):
+        return jnp.sum(jnp.tanh(x[rows]) * 0.5)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(f)(x)),
+                               np.asarray(jax.grad(f_ref)(x)), rtol=1e-6)
+
+    # 1-D value table too (bias vectors)
+    b = jnp.asarray(rng.randn(9).astype(np.float32))
+    gb = jax.grad(lambda b: jnp.sum(take_rows(9, b, rows) ** 2))(b)
+    gb_ref = jax.grad(lambda b: jnp.sum(b[rows] ** 2))(b)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_ref), rtol=1e-6)
