@@ -289,7 +289,12 @@ def main():
         elif name == "ell16":
             t = bench_ell(u, i, w, jnp.bfloat16)
             print(f"ell16  2-layer fwd+bwd: {t * 1e3:8.1f} ms/step")
-        elif name == "step":
+        elif name.startswith("step"):
+            # "step" or "step:DIV" to sweep the hub break-even divisor
+            if ":" in name:
+                import recbole_tpu.ops.graph as G
+                G.HUB_BREAK_EVEN_DIV = float(name.split(":")[1])
+                print(f"  (HUB_BREAK_EVEN_DIV={G.HUB_BREAK_EVEN_DIV})")
             t = bench_step(u, i, w, restricted=True)
             print(f"restricted train step (2 full applies): {t*1e3:8.1f} ms "
                   f"-> {t * 1134:6.1f} s/epoch @2048 (ref 67.9)")
