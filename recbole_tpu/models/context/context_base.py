@@ -64,6 +64,15 @@ class ContextRecommender(AbstractRecommender):
         for _, vocab, _ in self.token_fields:
             self.token_offsets.append(total)
             total += vocab
+        # under a mesh the unified table is row-sharded over the "model"
+        # axis (parallel/embed.py): pad the tail so shards are even — the
+        # pad rows sit past every offset, are never gathered, and init as
+        # zeros so seeded params match the single-chip run row-for-row
+        self._token_vocab_real = total
+        mesh_cfg = config["mesh_shape"] or {}
+        model_axis = int(mesh_cfg.get("model", 1) or 1)
+        if model_axis > 1 and total % model_axis:
+            total += model_axis - total % model_axis
         self.token_vocab_total = total
 
         self.seq_offsets = []
@@ -122,8 +131,13 @@ class ContextRecommender(AbstractRecommender):
         ks = jax.random.split(rng, 6)
         params = {}
         if self.token_vocab_total:
-            params["token_embedding"] = xavier_normal(
-                ks[0], (self.token_vocab_total, self.embedding_size))
+            emb = xavier_normal(
+                ks[0], (self._token_vocab_real, self.embedding_size))
+            pad = self.token_vocab_total - self._token_vocab_real
+            if pad:
+                emb = jnp.concatenate(
+                    [emb, jnp.zeros((pad, self.embedding_size))], axis=0)
+            params["token_embedding"] = emb
             params["token_bias"] = jnp.zeros((self.token_vocab_total,))
         if self.float_fields:
             params["float_embedding"] = xavier_normal(
@@ -153,14 +167,22 @@ class ContextRecommender(AbstractRecommender):
 
     def embed_input(self, params, batch):
         """(B, num_fields, D) second-order embeddings."""
-        from ...ops.bitgraph import take_rows
+        from ...ops.bitgraph import take_rows_tuned as take_rows
+        from ...parallel.mesh import active_plan
         parts = []
         if self.token_fields:
             ids = self._token_ids(batch)                       # (B, F)
             B, F = ids.shape
-            emb = take_rows(self.token_vocab_total,
-                            params["token_embedding"],
-                            ids.reshape(-1)).reshape(B, F, -1)
+            plan = active_plan()
+            if plan is not None and plan.shards_table(
+                    "token_embedding", params["token_embedding"]):
+                from ...parallel.embed import sharded_take_rows
+                emb = sharded_take_rows(plan.mesh,
+                                        params["token_embedding"], ids)
+            else:
+                emb = take_rows(self.token_vocab_total,
+                                params["token_embedding"],
+                                ids.reshape(-1)).reshape(B, F, -1)
             parts.append(emb)
         for j, (field, fetch) in enumerate(self.float_fields):
             val = fetch(batch).astype(jnp.float32)
@@ -189,7 +211,7 @@ class ContextRecommender(AbstractRecommender):
 
     def first_order(self, params, batch):
         """(B,) linear term (parity: FMFirstOrderLinear, layers.py:905)."""
-        from ...ops.bitgraph import take_rows
+        from ...ops.bitgraph import take_rows_tuned as take_rows
         total = jnp.zeros(self.batch_len(batch)) + params["first_order_bias"]
         if self.token_fields:
             ids = self._token_ids(batch)                       # (B, F)

@@ -57,12 +57,16 @@ class LightGCN(GeneralRecommender):
         # batch-restricted training step (ops/bitgraph.py): the propagation
         # is linear, so a step needs only TWO full adjacency applications
         # (not 2*n_layers) plus packed-bit restricted ops at the batch rows.
-        # Worth the extra ~2x E/8-byte consts only where propagation is
-        # expensive, i.e. off the small-graph dense path; config
-        # `use_restricted_step` overrides (tests force it on tiny graphs).
+        # The packed images are DENSE in the node grid (~2*n_users*n_items/8
+        # bytes) so auto-enable only off the small-graph dense path AND under
+        # the bitgraph byte budget; config `use_restricted_step` overrides
+        # (tests force it on tiny graphs).
+        from ...ops.bitgraph import BITGRAPH_BUDGET_BYTES, bitgraph_bytes
         use_res = config.get("use_restricted_step")
-        self.use_restricted = (not self.prop.dense) if use_res is None \
-            else bool(use_res)
+        self.use_restricted = (
+            (not self.prop.dense)
+            and bitgraph_bytes(self.n_users, self.n_items) <= BITGRAPH_BUDGET_BYTES
+        ) if use_res is None else bool(use_res)
         if self.use_restricted:
             from ...ops.bitgraph import BitRestrictedGraph, LinearPropBatch
             self.bitgraph = BitRestrictedGraph(inter, self.n_users,

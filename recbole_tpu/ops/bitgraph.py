@@ -32,6 +32,19 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# The packed-bit consts are DENSE in the node grid: ~2 * n_users*n_items/8
+# bytes total (one image per side), NOT edge-proportional. Yelp (102Kx98K)
+# is ~2x1.26GB and fine; a Gowalla/Amazon-class shape (107K x 1.28M) would
+# be ~2x17GB and OOM at construction. Auto-enable only under this budget.
+BITGRAPH_BUDGET_BYTES = 4 << 30
+
+
+def bitgraph_bytes(n_users, n_items):
+    """Host+device footprint of BitRestrictedGraph's two packed images."""
+    ubytes = -(-(-(-n_items // 8)) // 16) * 16
+    ibytes = -(-(-(-n_users // 8)) // 16) * 16
+    return n_users * ubytes + n_items * ibytes
+
 
 def _pack_side(major, minor, n_major, n_minor):
     """Packed-bit matrix (n_major, ceil(n_minor/8)*pad) uint8 where bit
@@ -131,8 +144,19 @@ def rows_to_dense(rows, vals, n):
 def take_rows(n, x, rows):
     """x[rows] with a scatter-free backward (sorted segment-sum instead of
     XLA's scatter-add). ``n`` must equal x.shape[0]; ``rows`` may have any
-    shape (the backward flattens it)."""
+    shape (the backward flattens it).
+
+    Env ``RECBOLE_TPU_NO_DEDUP_GATHER=1`` (read at trace time) falls back to
+    a plain gather whose backward is XLA's scatter-add — bench-only switch
+    for the dedup A/B (scripts/bench_ctr_ab.py)."""
     return x.at[rows].get(mode="promise_in_bounds")
+
+
+def take_rows_tuned(n, x, rows):
+    import os
+    if os.environ.get("RECBOLE_TPU_NO_DEDUP_GATHER"):
+        return x.at[rows].get(mode="promise_in_bounds")
+    return take_rows(n, x, rows)
 
 
 def _take_rows_fwd(n, x, rows):

@@ -106,11 +106,11 @@ class BipartiteProp:
             Ru = np.zeros((n_users, n_items), np.float32)
             np.add.at(Ru, (u, i), wu)
             if norm == "sym":
-                self._consts = {"R": jnp.asarray(Ru)}
+                self._consts = {"R": Ru}
             else:
                 Ri = np.zeros((n_users, n_items), np.float32)
                 np.add.at(Ri, (u, i), wi)
-                self._consts = {"R": jnp.asarray(Ru), "Rt": jnp.asarray(Ri)}
+                self._consts = {"R": Ru, "Rt": Ri}
         else:
             src = np.concatenate([u, i + n_users])
             dst = np.concatenate([i + n_users, u])
@@ -135,12 +135,8 @@ class BipartiteProp:
             od = np.argsort(dst, kind="stable")
             os_ = np.argsort(src, kind="stable")
             self._consts = {
-                "edge_src": jnp.asarray(src[od]),
-                "edge_dst": jnp.asarray(dst[od]),
-                "edge_w": jnp.asarray(w[od]),
-                "bwd_src": jnp.asarray(src[os_]),
-                "bwd_dst": jnp.asarray(dst[os_]),
-                "bwd_w": jnp.asarray(w[os_]),
+                "edge_src": src[od], "edge_dst": dst[od], "edge_w": w[od],
+                "bwd_src": src[os_], "bwd_dst": dst[os_], "bwd_w": w[os_],
             }
 
     def _build_hybrid(self, u, i, w, hub_budget):
@@ -181,18 +177,20 @@ class BipartiteProp:
         hub_ids_pad = np.zeros(Hp, np.int64)  # padded cols read item 0,
         hub_ids_pad[:H] = hub_ids             # R columns there are zero
         self._consts = {
-            "hub_R": jnp.asarray(R, jnp.bfloat16),
-            "hub_ids": jnp.asarray(hub_ids_pad.astype(np.int32)),
-            "hub_pos": jnp.asarray(hub_pos.astype(np.int32)),
-            "gh_att": jnp.asarray(att),
-            **{k: jnp.asarray(v) for k, v in ell_consts.items()},
+            "hub_R": R.astype(jnp.bfloat16),  # ml_dtypes numpy bf16
+            "hub_ids": hub_ids_pad.astype(np.int32),
+            "hub_pos": hub_pos.astype(np.int32),
+            "gh_att": att,
+            **dict(ell_consts),
         }
         self.hub_size = H
 
     def init_consts(self):
-        """Device arrays for params["_const"]; key them by a model-chosen
-        name to allow several operators per model."""
-        return self._consts
+        """FRESH device arrays for params["_const"]; key them by a
+        model-chosen name to allow several operators per model. Host copies
+        are kept so repeated calls survive jit donation of earlier results
+        (checkpoint-load rebuilds consts after training deleted them)."""
+        return {k: jnp.asarray(v) for k, v in self._consts.items()}
 
     def __call__(self, consts, x):
         """consts: the dict from init_consts (read back from params);

@@ -20,8 +20,25 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # embedding-table param names that get row-sharded over the "model" axis when
-# config["shard_item_embeddings"] is on
-_SHARDED_TABLE_KEYS = ("item_embedding", "entity_embedding")
+# config["shard_item_embeddings"] is on. token_embedding is the unified CTR
+# feature vocabulary (2.57M rows at Criteo scale — the flagship row-sharding
+# case); its lookups route through parallel/embed.sharded_take_rows.
+_SHARDED_TABLE_KEYS = ("item_embedding", "entity_embedding",
+                       "user_embedding", "token_embedding")
+
+# process-global active plan: models consult it at trace time to pick the
+# explicit shard_map lookup for row-sharded tables (set by the Trainer when
+# config["mesh_shape"] is on; None on the single-chip path)
+_ACTIVE_PLAN = None
+
+
+def set_active_plan(plan):
+    global _ACTIVE_PLAN
+    _ACTIVE_PLAN = plan
+
+
+def active_plan():
+    return _ACTIVE_PLAN
 
 
 def make_mesh(mesh_shape, devices=None):
@@ -71,6 +88,15 @@ class ShardingPlan:
 
     def replicated(self):
         return NamedSharding(self.mesh, P())
+
+    def shards_table(self, name, leaf):
+        """True when param ``name`` is row-sharded under this plan (same
+        predicate param_shardings applies by path)."""
+        return (self.shard_item_embeddings
+                and self.mesh.shape["model"] > 1
+                and getattr(leaf, "ndim", 0) == 2
+                and any(k in name for k in _SHARDED_TABLE_KEYS)
+                and leaf.shape[0] % self.mesh.shape["model"] == 0)
 
     def batch_spec(self):
         return NamedSharding(self.mesh, P("data"))

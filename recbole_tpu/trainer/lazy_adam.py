@@ -13,8 +13,12 @@ measure-zero case of a touched row whose gradient is exactly 0.0 — torch
 would decay its moments, we skip it.
 
 The moment update stays a dense masked read/write (bandwidth, not scatter);
-the structural perf win for huge embedding tables is the multi-field gather
-VJP in ops/embed.py, not this transform.
+this transform is a SEMANTICS fix, not a bandwidth fix. The structural perf
+lever for huge embedding tables is the dedup-gather VJP
+(ops/bitgraph.py::take_rows, wired via models/context/context_base.py).
+weight_decay is warned-and-dropped for this learner, matching torch
+SparseAdam (reference trainer.py:123-126) and preserving the g != 0
+touched-row mask (decay would make every row's update nonzero).
 """
 
 from typing import NamedTuple

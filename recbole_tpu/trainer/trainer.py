@@ -62,7 +62,15 @@ def build_optimizer(config):
         max_norm = args.get("max_norm", 5.0) if isinstance(args, dict) else float(args)
         chain.append(optax.clip_by_global_norm(max_norm))
     if config["weight_decay"]:
-        chain.append(optax.add_decayed_weights(config["weight_decay"]))
+        if name == "sparse_adam":
+            # Parity: reference warns and DROPS weight_decay for SparseAdam
+            # (trainer.py:123-126). Decay would also make every gradient row
+            # nonzero, defeating lazy_adam's touched-row mask (rows with
+            # g == 0 must stay bit-identical).
+            get_logger().warning(
+                "sparse_adam does not support weight_decay; ignoring it")
+        else:
+            chain.append(optax.add_decayed_weights(config["weight_decay"]))
     chain.append(tx)
     return optax.chain(*chain)
 
@@ -106,6 +114,10 @@ class Trainer:
             mesh = make_mesh(config["mesh_shape"])
             self.plan = ShardingPlan(mesh, config["shard_item_embeddings"])
             self.logger.info("sharding over mesh %s", dict(mesh.shape))
+        # models consult the active plan at trace time (sharded CTR lookups);
+        # always set it so a mesh-less trainer clears a predecessor's plan
+        from ..parallel.mesh import set_active_plan
+        set_active_plan(self.plan)
 
         seed = config["seed"] or 0
         self.rng = jax.random.key(seed, impl=config["prng_impl"] or "rbg")
@@ -515,6 +527,9 @@ class Trainer:
             return {k: jax.tree.map(lambda _: k != "_const", v)
                     for k, v in p.items()}
 
+        if getattr(self, "_const_masked", False):
+            return
+        self._const_masked = True
         self.optimizer = optax.chain(
             optax.masked(optax.set_to_zero(), is_const),
             optax.masked(self.optimizer, not_const))
@@ -527,8 +542,11 @@ class Trainer:
                 self.model.zero_pad_rows(self.model.init_params(init_key)))
             if self.plan is not None:
                 self.params = self.plan.shard_params(self.params)
-            if isinstance(self.params, dict) and "_const" in self.params:
-                self._mask_const_subtree()
+        # masking must also run on the resume path (params loaded from a
+        # checkpoint whose opt_state was produced by the masked optimizer)
+        if isinstance(self.params, dict) and "_const" in self.params:
+            self._mask_const_subtree()
+        if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
         self._modes = {}
         self._build_mode(train_data, self.default_train_mode)
@@ -640,6 +658,14 @@ class Trainer:
     # ------------------------------------------------------------- checkpoint
 
     def _save_checkpoint(self, epoch):
+        # checkpoints carry only LEARNED state: the dataset-derived
+        # params["_const"] subtree (graph structures, packed-bit images —
+        # gigabytes at Yelp scale) is rebuilt from data on load, matching
+        # the reference's state_dict-only format (trainer.py:250-263)
+        save_params = self.params
+        if isinstance(save_params, dict) and "_const" in save_params:
+            save_params = {k: v for k, v in save_params.items()
+                           if k != "_const"}
         state = {
             "config": dict(self.config.final),
             "epoch": epoch,
@@ -647,7 +673,7 @@ class Trainer:
             "train_loss_dict": dict(self.train_loss_dict),
             "best_valid_score": self.best_valid_score,
             "best_valid_result": self.best_valid_result,
-            "params": jax.tree.map(np.asarray, self.params),
+            "params": jax.tree.map(np.asarray, save_params),
             "opt_state": jax.tree.map(
                 lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x,
                 self.opt_state),
@@ -669,7 +695,8 @@ class Trainer:
         # on the restored best still returns the checkpointed result rather
         # than None (run-to-run RNG decides which — was a flaky gap)
         self.best_valid_result = state.get("best_valid_result")
-        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.params = self._reattach_consts(
+            jax.tree.map(jnp.asarray, state["params"]))
         self.opt_state = jax.tree.map(
             lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
             state["opt_state"])
@@ -685,7 +712,26 @@ class Trainer:
     def load_params(self, model_file):
         with open(model_file, "rb") as fh:
             state = pickle.load(fh)
-        self.params = jax.tree.map(jnp.asarray, state["params"])
+        self.params = self._reattach_consts(
+            jax.tree.map(jnp.asarray, state["params"]))
+
+    def _reattach_consts(self, params):
+        """Rebuild the params["_const"] subtree that _save_checkpoint strips
+        (pre-r4 checkpoints still carry it — kept as-is). The model
+        re-derives it from its construction-time dataset state via
+        init_params; the learned leaves of that fresh tree are discarded.
+        The init key replays prepare()'s exact split off the construction
+        seed, so RNG-derived frozen consts (feat_embed's N(0,1) tables)
+        come back bit-identical. Must run BEFORE the checkpoint rng is
+        restored into self.rng."""
+        if not isinstance(params, dict) or "_const" in params:
+            return params
+        init_key = jax.random.split(self.rng)[1]
+        fresh = self.model.attach_consts(self.model.init_params(init_key))
+        if isinstance(fresh, dict) and "_const" in fresh:
+            params = dict(params)
+            params["_const"] = fresh["_const"]
+        return params
 
     # ------------------------------------------------------------- evaluation
 
@@ -805,10 +851,16 @@ class Trainer:
             items = items.reshape(n_chunks, chunk)
             p = params
             if use_bf16:
+                # cast only learned leaves; dataset-derived params["_const"]
+                # (graph norms etc.) must stay f32 — models that read
+                # params["_const"] directly in score_items would otherwise
+                # run normalization constants in bf16
                 p = jax.tree.map(
                     lambda a: (a.astype(jnp.bfloat16)
                                if getattr(a, "dtype", None) == jnp.float32
                                else a), params)
+                if isinstance(params, dict) and "_const" in params:
+                    p = {**p, "_const": params["_const"]}
 
             def score_chunk(item_chunk):
                 cand = jnp.broadcast_to(item_chunk[None, :], (B, chunk))

@@ -107,7 +107,7 @@ def synth_ctr_dataset(config, shape, seed=42):
     return ds
 
 
-def bench_model(model, dataset_name, epochs=2):
+def bench_model(model, dataset_name, epochs=2, config_overrides=None):
     from recbole_tpu.config.configurator import Config
     from recbole_tpu.data.utils import data_preparation
     from recbole_tpu.models import get_model
@@ -119,7 +119,7 @@ def bench_model(model, dataset_name, epochs=2):
         "checkpoint_dir": "/tmp/bench_saved", "log_dir": "/tmp/bench_log",
         "epochs": epochs,
         "USER_ID_FIELD": None, "ITEM_ID_FIELD": None, "LABEL_FIELD": "label",
-        "TIME_FIELD": None,
+        "TIME_FIELD": None, **(config_overrides or {}),
     }, _parse_cmd_line=False)
     # the data protocol (ungrouped RO_RS split, value metrics) is identical
     # for every CTR model — split once per dataset, reuse the loader triple

@@ -19,6 +19,7 @@ Usage:
 Prints one JSON line per (side, seed) run and a final summary line.
 """
 
+import ast
 import json
 import os
 import subprocess
@@ -114,8 +115,8 @@ def main():
             return
         else:
             try:
-                extra[k] = eval(v, {}, {})  # noqa: S307
-            except Exception:  # noqa: BLE001
+                extra[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
                 extra[k] = v
 
     cfg = {**PRESETS[preset], "epochs": epochs, **extra}

@@ -89,6 +89,80 @@ print("distributed full-sort parity ok", b)
     assert "distributed full-sort parity ok" in r.stdout
 
 
+def test_sharded_take_rows_matches_dense():
+    """parallel/embed.sharded_take_rows: value + gradient vs the dense
+    oracle, on a 2x4 mesh, for both divisible and non-divisible batch."""
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from recbole_tpu.parallel.mesh import make_mesh
+from recbole_tpu.parallel.embed import sharded_take_rows
+
+mesh = make_mesh({"data": 2, "model": 4})
+rng = np.random.RandomState(0)
+V, D = 64, 8
+table = jnp.asarray(rng.randn(V, D).astype(np.float32))
+for B in (16, 15):   # 15: batch axis falls back to replicated
+    ids = jnp.asarray(rng.randint(0, V, (B, 5)).astype(np.int32))
+    # duplicates inside the batch exercise the dedup backward
+    ids = ids.at[0].set(ids[1])
+    out = sharded_take_rows(mesh, table, ids)
+    ref = table[ids]
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6), B
+
+    w = jnp.asarray(rng.randn(B, 5, D).astype(np.float32))
+    g = jax.grad(lambda t: jnp.sum(sharded_take_rows(mesh, t, ids) * w))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(t[ids] * w))(table)
+    assert np.allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5), B
+print("sharded take_rows ok")
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "sharded take_rows ok" in r.stdout
+
+
+def test_ctr_mesh_matches_single_device():
+    """DeepFM through the trainer with the unified feature table row-sharded
+    (token_embedding via parallel/embed.py) must reproduce the single-device
+    metrics — same seed, init padding keeps params row-identical."""
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import tempfile, os
+import numpy as np
+from recbole_tpu import objective_function
+root = tempfile.mkdtemp()
+d = os.path.join(root, "ctr", "ctr"); os.makedirs(d)
+rng = np.random.RandomState(0)
+with open(os.path.join(d, "ctr.inter"), "w") as fh:
+    fh.write("label:float\\tI1:float\\tC1:token\\tC2:token\\n")
+    for _ in range(800):
+        c1, c2 = rng.randint(0, 30), rng.randint(0, 70)
+        x1 = rng.random_sample()
+        y = int((c1 % 2) * 0.5 + x1 > 0.8)
+        fh.write(f"{y}\\t{x1:.4f}\\t{c1}\\t{c2}\\n")
+base = {
+    "model": "DeepFM", "dataset": "ctr", "data_path": os.path.join(root, "ctr"),
+    "checkpoint_dir": os.path.join(root, "s"), "log_dir": os.path.join(root, "l"),
+    "USER_ID_FIELD": None, "ITEM_ID_FIELD": None, "LABEL_FIELD": "label",
+    "TIME_FIELD": None, "load_col": {"inter": "*"},
+    "epochs": 1, "train_batch_size": 128,
+    "state": "ERROR", "seed": 5, "valid_full_to_uni1000": False}
+r_single = objective_function(config_dict=dict(base), saved=False)
+r_mesh = objective_function(config_dict={**base,
+    "mesh_shape": {"data": 2, "model": 4},
+    "shard_item_embeddings": True}, saved=False)
+a, b = r_single["test_result"], r_mesh["test_result"]
+for k in a:
+    assert abs(a[k] - b[k]) < 2e-3, (k, a[k], b[k])
+print("ctr mesh parity ok", b)
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ctr mesh parity ok" in r.stdout
+
+
 def test_two_process_distributed_init():
     """jax.distributed bootstrap through the config keys: 2 CPU processes,
     4 virtual devices each, global mesh {data: 4, model: 2}, one sharded
