@@ -278,6 +278,18 @@ class SequentialRecommender(AbstractRecommender):
         return jnp.take_along_axis(
             seq_output, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
 
+    def embed_seq(self, params, ids, key="item_embedding"):
+        """Input-sequence embedding lookup, params[key][ids], with a
+        scatter-free backward: the (B, L) gather's gradient is the
+        one-hot-matmul dense accumulation of ops/embed_grad.py instead of
+        XLA's row-serialized scatter-add (~67ns/row * B*L rows dominated
+        the sequential train step). Values identical to a plain gather;
+        the backward is an exact reordering (f32 accumulate, hi/lo split
+        for f32 cotangents)."""
+        from ..ops.embed_grad import take_rows_dense_grad
+        table = params[key]
+        return take_rows_dense_grad(table.shape[0], table, ids)
+
     # -- default scoring for models that expose forward() -> (B, D) and score
     #    items by dot with params[item_embedding_key] (the common pattern
     #    across the reference's sequential catalog) ---------------------------

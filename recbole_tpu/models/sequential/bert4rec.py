@@ -62,7 +62,7 @@ class BERT4Rec(SequentialRecommender):
     def _encode(self, params, seq, rng=None):
         valid = seq != 0
         L = seq.shape[1]
-        x = params["item_embedding"][seq] \
+        x = self.embed_seq(params, seq) \
             + params["position_embedding"][None, :L, :]
         x = layer_norm(x, params["ln_g"], params["ln_b"])
         if rng is not None and self.hidden_dropout_prob > 0:

@@ -59,7 +59,7 @@ class Caser(SequentialRecommender):
 
     def forward(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
-        E = params["item_embedding"][seq]                      # (B, L, D)
+        E = self.embed_seq(params, seq)                      # (B, L, D)
         # vertical: weighted sums over the time axis
         out_v = jnp.einsum("bld,lv->bvd", E, params["conv_v"],
                            preferred_element_type=jnp.float32) \

@@ -84,7 +84,7 @@ class FDSA(SequentialRecommender):
         L = seq.shape[1]
         pos = params["position_embedding"][None, :L, :]
 
-        item_x = params["item_embedding"][seq] + pos
+        item_x = self.embed_seq(params, seq) + pos
         item_x = layer_norm(item_x, params["ln_g"], params["ln_b"])
 
         feats = self.embedder.embed(params, seq)               # (B, L, F, D)

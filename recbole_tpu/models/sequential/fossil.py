@@ -48,7 +48,7 @@ class FOSSIL(SequentialRecommender):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
         L = seq.shape[1]
-        emb = params["item_embedding"][seq]
+        emb = self.embed_seq(params, seq)
         valid = (jnp.arange(L)[None, :] < seq_len[:, None]).astype(jnp.float32)
         # FISM part: inverse-length^alpha weighted sum of history
         decay = jnp.power(jnp.maximum(seq_len.astype(jnp.float32), 1.0),

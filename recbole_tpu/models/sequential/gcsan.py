@@ -59,7 +59,7 @@ class GCSAN(SequentialRecommender):
         seq_len = batch[self.ITEM_SEQ_LEN]
         L = seq.shape[1]
         alias, a_in, a_out = session_graph(seq, seq_len)
-        hidden = params["item_embedding"][seq]
+        hidden = self.embed_seq(params, seq)
         hidden = gnn_apply(params["gnn"], a_in, a_out, hidden, self.step)
         seq_hidden = jnp.take_along_axis(
             hidden, alias[:, :, None].astype(jnp.int32), axis=1)

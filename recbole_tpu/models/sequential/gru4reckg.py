@@ -74,7 +74,7 @@ class GRU4RecKG(SequentialRecommender):
     def forward(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
-        x = params["item_embedding"][seq]
+        x = self.embed_seq(params, seq)
         ent_table = params["entity_embedding"]
         if self.freeze_kg:
             ent_table = jax.lax.stop_gradient(ent_table)

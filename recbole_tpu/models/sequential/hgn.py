@@ -51,7 +51,7 @@ class HGN(SequentialRecommender):
 
     def forward(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
-        emb = params["item_embedding"][seq]                    # (B, L, D)
+        emb = self.embed_seq(params, seq)                    # (B, L, D)
         u = params["user_embedding"][batch[self.USER_ID]]      # (B, D)
         # No position masks anywhere — parity with reference hgn.py:99-164,
         # which relies on the padding_idx=0 item row staying all-zero (our
@@ -108,7 +108,7 @@ class HGN(SequentialRecommender):
         w = batch.get("_weight")
         u_e = params["user_embedding"][batch[self.USER_ID]]
         pos_e = params["item_out_embedding"][batch[self.POS_ITEM_ID]]
-        seq_e = params["item_embedding"][batch[self.ITEM_SEQ]]
+        seq_e = self.embed_seq(params, batch[self.ITEM_SEQ])
         if w is not None:
             u_e = u_e * w[:, None]
             pos_e = pos_e * w[:, None]

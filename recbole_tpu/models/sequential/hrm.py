@@ -69,14 +69,14 @@ class HRM(SequentialRecommender):
                            0, L - 1)
             wvalid = (seq_len[:, None] - self.high_order
                       + offs[None, :]) >= 0
-            wemb = params["item_embedding"][jnp.take_along_axis(seq, idx, 1)] \
+            wemb = self.embed_seq(params, jnp.take_along_axis(seq, idx, 1)) \
                 * wvalid[..., None]
             hybrid1 = jnp.max(wemb, axis=1)
         else:
             # reference avg (hrm.py:107-113): FULL-sequence sum divided by
             # min(len, high_order)
             denom = jnp.minimum(seq_len, self.high_order).astype(jnp.float32)
-            hybrid1 = jnp.sum(params["item_embedding"][seq], 1) \
+            hybrid1 = jnp.sum(self.embed_seq(params, seq), 1) \
                 / jnp.maximum(denom, 1.0)[:, None]
         stack = jnp.stack([u, hybrid1], axis=1)
         if rng is not None and self.dropout_prob > 0:

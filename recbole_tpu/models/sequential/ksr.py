@@ -96,7 +96,7 @@ class KSR(SequentialRecommender):
         B, L = seq.shape
         ent, rel = self._tables(params)
 
-        x = params["item_embedding"][seq]
+        x = self.embed_seq(params, seq)
         if rng is not None and self.dropout_prob > 0:
             rng, dk = jax.random.split(rng)
             x = dropout_apply(dk, x, self.dropout_prob)

@@ -51,7 +51,7 @@ class NARM(SequentialRecommender):
     def forward(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
-        x = params["item_embedding"][seq]
+        x = self.embed_seq(params, seq)
         if rng is not None and self.dropout_probs[0] > 0:
             rng, dk = jax.random.split(rng)
             x = dropout_apply(dk, x, self.dropout_probs[0])

@@ -73,7 +73,7 @@ class NextItNet(SequentialRecommender):
 
     def forward(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
-        x = params["item_embedding"][seq]
+        x = self.embed_seq(params, seq)
         for blk, dil in zip(params["blocks"], self.dilations):
             h = self._causal_conv(x, blk["w1"], blk["b1"], dil)
             h = jax.nn.relu(layer_norm(h, blk["ln1_g"], blk["ln1_b"],

@@ -46,7 +46,7 @@ class NPE(SequentialRecommender):
     def forward(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
         # pads are zero rows (pinned), so the plain sum matches the reference
-        s = jnp.sum(params["item_embedding"][seq], 1)
+        s = jnp.sum(self.embed_seq(params, seq), 1)
         u = params["user_embedding"][batch[self.USER_ID]]
         u = jax.nn.relu(u)
         s = jax.nn.relu(s)

@@ -63,7 +63,7 @@ class RepeatNet(SequentialRecommender):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
         B, L = seq.shape
-        x = params["item_embedding"][seq]
+        x = self.embed_seq(params, seq)
         mem = gru_apply(params["gru"], x)                       # (B, L, H)
         last = self.gather_last(mem, seq_len)                   # (B, H)
         pad = seq == 0                                          # (B, L)

@@ -119,7 +119,7 @@ class S3Rec(SequentialRecommender):
 
     def _encode(self, params, seq, seq_len, bidirectional, rng=None):
         L = seq.shape[1]
-        x = params["item_embedding"][seq] \
+        x = self.embed_seq(params, seq) \
             + params["position_embedding"][None, :L, :]
         x = layer_norm(x, params["ln_g"], params["ln_b"])
         if rng is not None and self.hidden_dropout_prob > 0:

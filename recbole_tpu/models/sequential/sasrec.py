@@ -60,7 +60,7 @@ class SASRec(SequentialRecommender):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
         L = seq.shape[1]
-        x = params["item_embedding"][seq] \
+        x = self.embed_seq(params, seq) \
             + params["position_embedding"][None, :L, :]
         x = layer_norm(x, params["ln_g"], params["ln_b"])
         if rng is not None and self.hidden_dropout_prob > 0:

@@ -60,7 +60,7 @@ class SHAN(SequentialRecommender):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
         L = seq.shape[1]
-        emb = params["item_embedding"][seq]
+        emb = self.embed_seq(params, seq)
         valid = jnp.arange(L)[None, :] < seq_len[:, None]
         u = params["user_embedding"][batch[self.USER_ID]]
         long_rep = self._attend(emb, valid, params["long_w"],

@@ -49,7 +49,7 @@ class SRGNN(SequentialRecommender):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
         alias, a_in, a_out = session_graph(seq, seq_len)
-        hidden = params["item_embedding"][seq]                  # node slots
+        hidden = self.embed_seq(params, seq)                  # node slots
         hidden = gnn_apply(params["gnn"], a_in, a_out, hidden, self.step)
         seq_hidden = jnp.take_along_axis(
             hidden, alias[:, :, None].astype(jnp.int32), axis=1)

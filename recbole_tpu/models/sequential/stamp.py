@@ -49,7 +49,7 @@ class STAMP(SequentialRecommender):
     def forward(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]
         seq_len = batch[self.ITEM_SEQ_LEN]
-        emb = params["item_embedding"][seq]                    # (B, L, D)
+        emb = self.embed_seq(params, seq)                    # (B, L, D)
         valid = (jnp.arange(seq.shape[1])[None, :]
                  < seq_len[:, None]).astype(jnp.float32)
         last = self.gather_last(emb, seq_len)                  # (B, D)

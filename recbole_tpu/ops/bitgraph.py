@@ -41,17 +41,19 @@ BITGRAPH_BUDGET_BYTES = 4 << 30
 
 def bitgraph_bytes(n_users, n_items):
     """Host+device footprint of BitRestrictedGraph's two packed images."""
-    ubytes = -(-(-(-n_items // 8)) // 16) * 16
-    ibytes = -(-(-(-n_users // 8)) // 16) * 16
+    ubytes = -(-(-(-n_items // 8)) // 256) * 256
+    ibytes = -(-(-(-n_users // 8)) // 256) * 256
     return n_users * ubytes + n_items * ibytes
 
 
 def _pack_side(major, minor, n_major, n_minor):
     """Packed-bit matrix (n_major, ceil(n_minor/8)*pad) uint8 where bit
     (minor % 8) of byte (major, minor // 8) is set per edge. Byte width is
-    padded to a multiple of 16 so the unpacked K dim is lane-aligned (128)."""
+    padded to a multiple of 256 so the Pallas shift-plane kernels
+    (ops/bit_kernels.py) tile evenly and the unpacked K dim stays
+    lane-aligned."""
     nbytes = -(-n_minor // 8)
-    nbytes = -(-nbytes // 16) * 16
+    nbytes = -(-nbytes // 256) * 256
     packed = np.zeros((n_major, nbytes), np.uint8)
     np.bitwise_or.at(packed, (major, minor // 8),
                      (1 << (minor % 8)).astype(np.uint8))
@@ -106,10 +108,16 @@ def restricted_rows_apply(bits, rows, row_norm, col_norm, v):
     = diag(row_norm)[rows] @ B[rows, :] @ diag(col_norm) @ v, computed as a
     gather of R packed rows -> bf16 unpack -> one MXU matmul."""
     packed = bits.at[rows].get(mode="promise_in_bounds")
-    unpacked = _unpack_bits(packed)                       # (R, K) bf16
     vv = (v * col_norm[:, None]).astype(jnp.bfloat16)
-    vv = _pad_k(vv, unpacked.shape[1])
-    out = jnp.dot(unpacked, vv, preferred_element_type=jnp.float32)
+    vv = _pad_k(vv, packed.shape[1] * 8)
+    from .bit_kernels import bit_rows_matmul, kernel_ok, perm_planes
+    if kernel_ok(packed.shape[0], packed.shape[1]):
+        # fused VMEM unpack + MXU matmul: the (R, K) bf16 unpack (~800MB at
+        # Yelp scale) never reaches HBM
+        out = bit_rows_matmul(packed, perm_planes(vv))
+    else:
+        unpacked = _unpack_bits(packed)                   # (R, K) bf16
+        out = jnp.dot(unpacked, vv, preferred_element_type=jnp.float32)
     return out * row_norm.at[rows].get(mode="promise_in_bounds")[:, None]
 
 
@@ -121,11 +129,15 @@ def restricted_cols_apply(bits, rows, row_norm, col_norm, g, n_cols):
     naturally through the contraction. Same packed-row gather + unpack; the
     MXU contraction runs over the R dimension."""
     packed = bits.at[rows].get(mode="promise_in_bounds")
-    unpacked = _unpack_bits(packed)                       # (R, K) bf16
     gg = (g * row_norm.at[rows].get(
         mode="promise_in_bounds")[:, None]).astype(jnp.bfloat16)
-    out = jax.lax.dot_general(unpacked, gg, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (K, D)
+    from .bit_kernels import bit_cols_matmul, kernel_ok, unperm_planes
+    if kernel_ok(packed.shape[0], packed.shape[1]):
+        out = unperm_planes(bit_cols_matmul(packed, gg))
+    else:
+        unpacked = _unpack_bits(packed)                   # (R, K) bf16
+        out = jax.lax.dot_general(unpacked, gg, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
     return out[:n_cols] * col_norm[:, None]
 
 

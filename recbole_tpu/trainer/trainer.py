@@ -486,28 +486,25 @@ class Trainer:
         over-counts VMEM-resident reuse — treat as an upper bound."""
         bundle = self._build_mode(train_data, mode)
         try:
-            if bundle["epoch_fn"] is not None:
-                lowered = bundle["epoch_fn"].lower(
-                    self.params, self.opt_state, self.rng, jnp.int32(0),
-                    bundle["columns"], bundle["consts"])
-                per = bundle["steps"]
-            else:
-                batch = dict(next(iter(bundle["loader"])))
-                batch["_step"] = np.int32(0)
-                batch = {f: jnp.asarray(v) for f, v in batch.items()}
-                lowered = bundle["step"].lower(
-                    self.params, self.opt_state, self.rng, batch,
-                    bundle["consts"])
-                per = 1
+            # Always analyze the FLAT per-step program: XLA's cost analysis
+            # does not descend into lax.scan bodies, so the scan-epoch
+            # program reports ~0 flops (observed: MFU columns printing 0.0)
+            batch = dict(next(iter(bundle["loader"])))
+            batch["_step"] = np.int32(0)
+            batch = {f: jnp.asarray(v) for f, v in batch.items()}
+            lowered = bundle["step"].lower(
+                self.params, self.opt_state, self.rng, batch,
+                bundle["consts"])
+            steps = bundle["steps"] if bundle["epoch_fn"] is not None \
+                else -(-bundle["loader"].n // bundle["loader"].batch_size)
             ca = lowered.compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0] if ca else {}
             if not ca:
                 return None
-            return {"flops_per_step": float(ca.get("flops", 0.0)) / per,
-                    "bytes_per_step": float(
-                        ca.get("bytes accessed", 0.0)) / per,
-                    "steps_per_epoch": per}
+            return {"flops_per_step": float(ca.get("flops", 0.0)),
+                    "bytes_per_step": float(ca.get("bytes accessed", 0.0)),
+                    "steps_per_epoch": steps}
         except Exception:  # noqa: BLE001 — diagnostics only, never fatal
             return None
 

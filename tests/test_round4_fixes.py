@@ -151,7 +151,7 @@ def test_bitgraph_budget_gates_default(synth_dataset_dir, tmp_path,
     assert build({}).use_restricted is False
     m = build({"use_restricted_step": True})
     assert m.use_restricted is True and hasattr(m, "bitgraph")
-    # footprint formula: two padded byte-images
+    # footprint formula: two padded byte-images (256-byte tile padding)
     assert bg.bitgraph_bytes(102_046, 98_408) == \
-        102_046 * (-(-(-(-98_408 // 8)) // 16) * 16) \
-        + 98_408 * (-(-(-(-102_046 // 8)) // 16) * 16)
+        102_046 * (-(-(-(-98_408 // 8)) // 256) * 256) \
+        + 98_408 * (-(-(-(-102_046 // 8)) // 256) * 256)
