@@ -286,8 +286,10 @@ class SequentialRecommender(AbstractRecommender):
         the sequential train step). Values identical to a plain gather;
         the backward is an exact reordering (f32 accumulate, hi/lo split
         for f32 cotangents)."""
-        from ..ops.embed_grad import take_rows_dense_grad
         table = params[key]
+        if jax.default_backend() not in ("tpu", "axon"):
+            return table[ids]        # CPU: XLA's scatter backward wins there
+        from ..ops.embed_grad import take_rows_dense_grad
         return take_rows_dense_grad(table.shape[0], table, ids)
 
     # -- default scoring for models that expose forward() -> (B, D) and score

@@ -131,13 +131,12 @@ def restricted_cols_apply(bits, rows, row_norm, col_norm, g, n_cols):
     packed = bits.at[rows].get(mode="promise_in_bounds")
     gg = (g * row_norm.at[rows].get(
         mode="promise_in_bounds")[:, None]).astype(jnp.bfloat16)
-    from .bit_kernels import bit_cols_matmul, kernel_ok, unperm_planes
-    if kernel_ok(packed.shape[0], packed.shape[1]):
-        out = unperm_planes(bit_cols_matmul(packed, gg))
-    else:
-        unpacked = _unpack_bits(packed)                   # (R, K) bf16
-        out = jax.lax.dot_general(unpacked, gg, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+    # NOTE: the shift-plane cols kernel measured SLOWER than XLA here
+    # (2.40 vs 2.03 ms at Yelp shape — the contract-over-R dot transposes
+    # in VMEM); keep the XLA path for the transposed op.
+    unpacked = _unpack_bits(packed)                       # (R, K) bf16
+    out = jax.lax.dot_general(unpacked, gg, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
     return out[:n_cols] * col_norm[:, None]
 
 
@@ -165,10 +164,17 @@ def take_rows(n, x, rows):
 
 
 def take_rows_tuned(n, x, rows):
+    """Default: plain gather (XLA scatter-add backward). The round-4 A/B at
+    Criteo shape (scripts/bench_ctr_ab.py, PARITY.md) measured the dedup
+    sort+segment-sum backward ~1.2 s/ep SLOWER than the plain scatter for
+    every {adam, sparse_adam} cell — XLA lowers the sorted segment-sum to a
+    scatter anyway, so the sort is pure overhead at this shape. Env
+    ``RECBOLE_TPU_DEDUP_GATHER=1`` re-enables the dedup backward (read at
+    trace time) for A/B reruns."""
     import os
-    if os.environ.get("RECBOLE_TPU_NO_DEDUP_GATHER"):
-        return x.at[rows].get(mode="promise_in_bounds")
-    return take_rows(n, x, rows)
+    if os.environ.get("RECBOLE_TPU_DEDUP_GATHER"):
+        return take_rows(n, x, rows)
+    return x.at[rows].get(mode="promise_in_bounds")
 
 
 def _take_rows_fwd(n, x, rows):

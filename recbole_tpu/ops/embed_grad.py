@@ -143,6 +143,62 @@ def onehot_matmul_grad_xla(ids, g, n_rows):
     return acc
 
 
+# ---------------------------------------------------------------- windowed
+# Large-vocab dense-grad: XLA's scatter-add of R random rows into a (V, D)
+# table row-serializes (~4.7ms for 53K rows into Criteo's 2.57M x 10 —
+# measured round 4, scripts/bench_ctr_anatomy.py). Instead: sort the ids
+# once, then sweep the table in VMEM-sized row windows; each window's
+# (contiguous-in-sorted-order) updates apply serially IN VMEM, and HBM sees
+# exactly one (V, D) write.
+
+W_ROWS = 1 << 18          # window rows: (262144, D<=16) f32 <= ~16MB VMEM
+
+
+def _windowed_kernel(starts_ref, loc_ref, vals_ref, out_ref):
+    i = pl.program_id(0)
+    out_ref[:] = jnp.zeros_like(out_ref)
+    s, e = starts_ref[i], starts_ref[i + 1]
+
+    def body(j, _):
+        r = loc_ref[pl.ds(j, 1), :][0, 0]
+        out_ref[pl.ds(r, 1), :] += vals_ref[pl.ds(j, 1), :]
+        return 0
+
+    jax.lax.fori_loop(s, e, body, 0)
+
+
+def windowed_grad(ids, g, n_rows):
+    """ids (R,) int32, g (R, D) -> (n_rows, D) f32, duplicates summed.
+    Sorts ids (lax.sort_key_val), then a Pallas window sweep."""
+    R = ids.shape[0]
+    D = g.shape[1]
+    n_pad = _round_up(n_rows, W_ROWS)
+    n_w = n_pad // W_ROWS
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    svals = g[order].astype(jnp.float32)
+    # window start offsets in the sorted stream (n_w + 1, incl. end)
+    bounds = jnp.arange(n_w + 1, dtype=jnp.int32) * W_ROWS
+    starts = jnp.searchsorted(sids, bounds).astype(jnp.int32)
+    loc = (sids & (W_ROWS - 1)).astype(jnp.int32).reshape(-1, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_w,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # loc (R,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # vals (R, D)
+        ],
+        out_specs=pl.BlockSpec((W_ROWS, D), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _windowed_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, D), jnp.float32),
+    )(starts, loc, svals)
+    return out[:n_rows]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def take_rows_dense_grad(n, x, rows):
     """x[rows] whose backward materializes the dense (n, D) gradient via the
@@ -161,10 +217,18 @@ def _tr_bwd(n, res, g):
     d = int(np.prod(tail)) if tail else 1
     g2 = g.reshape(-1, d)
     r = rows.reshape(-1)
-    if jax.default_backend() in ("tpu", "axon") and kernel_supported(n, d):
-        out = onehot_matmul_grad(r, g2, n)
-    else:
+    # Measured round 4 (scripts/bench_embed_grad.py, bench_ctr_anatomy.py):
+    # small vocab -> the XLA chunked one-hot scan (0.45ms at 102K rows into
+    # 3.7K x 64, vs 0.79ms scatter / 1.0ms Pallas one-hot); large vocab on
+    # TPU -> the windowed VMEM sweep (XLA's scatter row-serializes at
+    # ~4.7ms for 53K rows into 2.57M x 10).
+    if kernel_supported(n, d):
         out = onehot_matmul_grad_xla(r, g2, n)
+    elif jax.default_backend() in ("tpu", "axon"):
+        out = windowed_grad(r, g2, n)
+    else:
+        out = jnp.zeros((n, d), jnp.float32).at[r].add(
+            g2.astype(jnp.float32))
     return out.reshape((n,) + tuple(tail)), None
 
 

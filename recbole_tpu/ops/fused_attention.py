@@ -197,7 +197,7 @@ def _make_attention(causal, rate, scale, B, H, L, hd, interpret):
 
 def fused_attention_supported(B, H, L, hd):
     """The kernel runs real batches on TPU; anything else uses XLA."""
-    return (jax.default_backend() == "tpu"
+    return (jax.default_backend() in ("tpu", "axon")
             and _batch_block(B, H, L) is not None)
 
 

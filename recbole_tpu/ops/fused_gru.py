@@ -185,7 +185,7 @@ def _make_gru(B, L, H, interpret):
 
 
 def fused_gru_supported(B, L, H):
-    return (jax.default_backend() == "tpu"
+    return (jax.default_backend() in ("tpu", "axon")
             and _batch_block(B, L, H) is not None)
 
 

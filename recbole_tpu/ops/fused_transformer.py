@@ -327,7 +327,7 @@ def _batch_block(B, H, L, D, I):
 
 
 def fused_layer_supported(B, H, L, D, inner, act):
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() not in ("tpu", "axon"):
         return False
     if D % H:
         return False

@@ -153,7 +153,7 @@ def masked_topk(query, items, invalid_mask, k, prefer_pallas=False):
     distributed top-k, where per-shard streaming selection + a K-wide
     cross-shard combine avoids an all-gather of full score matrices.
     """
-    if prefer_pallas and jax.default_backend() == "tpu" \
+    if prefer_pallas and jax.default_backend() in ("tpu", "axon") \
             and query.shape[0] % 8 == 0:
         return masked_topk_pallas(query, items, invalid_mask, k)
     return masked_topk_xla(query, items, invalid_mask, k)

@@ -83,6 +83,25 @@ def step():
     bitg = BitRestrictedGraph(inter, N_USERS, N_ITEMS)
     lpb = LinearPropBatch(prop, N_USERS, N_ITEMS, n_layers=2)
     consts = {**prop.init_consts(), **bitg.init_consts()}
+    # axon rule: never upload GBs through the tunnel — regenerate the big
+    # consts ON-DEVICE at identical shapes (timing is value-oblivious; the
+    # round-3 worker crash was exactly this upload)
+    key = jax.random.key(7, impl="rbg")
+    regen = {}
+    for name, v in consts.items():
+        if v.nbytes < 16 << 20:
+            continue
+        key, k = jax.random.split(key)
+        if v.dtype == jnp.uint8:
+            regen[name] = jax.random.randint(k, v.shape, 0, 256,
+                                             jnp.int32).astype(jnp.uint8)
+        elif v.dtype in (jnp.int32, jnp.int64):
+            hi = max(int(np.asarray(v).max()), 1)
+            regen[name] = jax.random.randint(k, v.shape, 0, hi + 1, v.dtype)
+        else:
+            regen[name] = (jax.random.normal(k, v.shape) * 0.01) \
+                .astype(v.dtype)
+    consts = {k_: regen.get(k_, jnp.asarray(v)) for k_, v in consts.items()}
 
     B = 2048
     key = jax.random.key(0, impl="rbg")

@@ -34,9 +34,9 @@ def hlo_scatter_audit(model_name, dataset_name="criteo"):
 
     out = {}
     for mode in ("dedup", "scatter"):
-        os.environ.pop("RECBOLE_TPU_NO_DEDUP_GATHER", None)
-        if mode == "scatter":
-            os.environ["RECBOLE_TPU_NO_DEDUP_GATHER"] = "1"
+        os.environ.pop("RECBOLE_TPU_DEDUP_GATHER", None)
+        if mode == "dedup":
+            os.environ["RECBOLE_TPU_DEDUP_GATHER"] = "1"
         cfg = Config(model_name, dataset_name, config_dict={
             "data_path": "/tmp", "state": "ERROR",
             "checkpoint_dir": "/tmp/bench_saved", "log_dir": "/tmp/bench_log",
@@ -71,7 +71,7 @@ def hlo_scatter_audit(model_name, dataset_name="criteo"):
             "sort": txt.count("sort("),
         }
         print(f"[hlo] {model_name} {mode}: {out[mode]}", flush=True)
-    os.environ.pop("RECBOLE_TPU_NO_DEDUP_GATHER", None)
+    os.environ.pop("RECBOLE_TPU_DEDUP_GATHER", None)
     return out
 
 
@@ -85,9 +85,9 @@ def main():
         results[model] = {"hlo": hlo_scatter_audit(model)}
         for learner in ("adam", "sparse_adam"):
             for dedup in (True, False):
-                os.environ.pop("RECBOLE_TPU_NO_DEDUP_GATHER", None)
-                if not dedup:
-                    os.environ["RECBOLE_TPU_NO_DEDUP_GATHER"] = "1"
+                os.environ.pop("RECBOLE_TPU_DEDUP_GATHER", None)
+                if dedup:
+                    os.environ["RECBOLE_TPU_DEDUP_GATHER"] = "1"
                 t0 = time.time()
                 tr, ev = bench_ctr.bench_model(
                     model, "criteo", epochs=3,
@@ -98,7 +98,7 @@ def main():
                 print(f"[cell] {model} {cell}: {tr:.3f} s/ep "
                       f"(ref {ref:.2f}, {ref / tr:.2f}x; wall "
                       f"{time.time() - t0:.0f}s)", flush=True)
-        os.environ.pop("RECBOLE_TPU_NO_DEDUP_GATHER", None)
+        os.environ.pop("RECBOLE_TPU_DEDUP_GATHER", None)
     print("AB_RESULT " + json.dumps(results), flush=True)
 
 

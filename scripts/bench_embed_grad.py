@@ -85,6 +85,43 @@ def make_xla_only_step():
     return step
 
 
+def bench_ctr_windowed():
+    """Large-vocab dense-grad strategies at Criteo shape: XLA scatter vs
+    the windowed VMEM sweep (ops/embed_grad.windowed_grad)."""
+    from recbole_tpu.ops.embed_grad import windowed_grad
+
+    Vc, Dc, F = 2_572_192, 10, 26
+    key = jax.random.key(5, impl="rbg")
+    k1, k2, _ = jax.random.split(key, 3)
+    ids = jax.random.randint(k1, (2048 * F,), 0, Vc, jnp.int32)
+    g = jax.random.normal(k2, (2048 * F, Dc), jnp.float32)
+
+    def chain(fn):
+        @jax.jit
+        def run(ids, g):
+            def body(i, acc):
+                out = fn(jnp.roll(ids, i), g)
+                return acc + jnp.max(jnp.abs(out))
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+        return run
+
+    for name, fn in [
+        ("ctr-scatter", lambda i, v: jnp.zeros((Vc, Dc), jnp.float32)
+            .at[i].add(v)),
+        ("ctr-windowed", lambda i, v: windowed_grad(i, v, Vc)),
+        ("ctr-sortonly", lambda i, v: v[jnp.argsort(i)]),
+    ]:
+        try:
+            run = chain(fn)
+            s = float(np.asarray(run(ids, g)))
+            t0 = time.time()
+            s = float(np.asarray(run(ids, g)))
+            dt = (time.time() - t0) / ITERS * 1e3
+            print(f"{name:<13} {dt:8.3f} ms/iter (sink {s:.3e})", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:<13} FAILED: {str(e)[:150]}", flush=True)
+
+
 def main():
     key = jax.random.key(0, impl="rbg")
     k1, k2, k3 = jax.random.split(key, 3)
@@ -98,6 +135,7 @@ def main():
         timed(name, make_step(name), table, ids, w)
     timed("onehotX", make_xla_only_step(), table, ids, w)
     print(f"(subtract the {base:.2f} ms roll floor from each)")
+    bench_ctr_windowed()
 
 
 if __name__ == "__main__":
