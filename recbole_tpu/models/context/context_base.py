@@ -84,6 +84,11 @@ class ContextRecommender(AbstractRecommender):
 
         self.num_fields = (len(self.token_fields) + len(self.float_fields)
                            + len(self.token_seq_fields))
+        # (offset, vocab) per token field, for the field-grouped backward
+        # (ops/embed_grad.grouped_take_rows)
+        self._field_spec = tuple(
+            (off, vocab) for (_, vocab, _), off
+            in zip(self.token_fields, self.token_offsets))
 
     def _available_fields(self, dataset):
         fields = set(dataset.inter_feat.keys())
@@ -165,9 +170,28 @@ class ContextRecommender(AbstractRecommender):
                                                         self.token_offsets)],
                          axis=1)
 
+    def _lookup(self, table, ids):
+        """(B, F) global-offset ids -> (B, F, D) rows of ``table``, with the
+        gradient strategy picked by measurement (round-4 A/B, PARITY.md):
+        field-grouped backward on TPU (small-vocab fields via contiguous
+        one-hot blocks, only huge-vocab fields scatter), plain gather
+        elsewhere. Env overrides for A/B reruns:
+        RECBOLE_TPU_DEDUP_GATHER=1 (sort+segment-sum backward),
+        RECBOLE_TPU_CTR_SCATTER=1 (plain XLA scatter backward)."""
+        import os
+        B, F = ids.shape
+        if os.environ.get("RECBOLE_TPU_DEDUP_GATHER"):
+            from ...ops.bitgraph import take_rows
+            return take_rows(table.shape[0], table,
+                             ids.reshape(-1)).reshape(B, F, -1)
+        if os.environ.get("RECBOLE_TPU_CTR_SCATTER") \
+                or jax.default_backend() not in ("tpu", "axon"):
+            return table.at[ids].get(mode="promise_in_bounds")
+        from ...ops.embed_grad import grouped_take_rows
+        return grouped_take_rows(self._field_spec, table, ids)
+
     def embed_input(self, params, batch):
         """(B, num_fields, D) second-order embeddings."""
-        from ...ops.bitgraph import take_rows_tuned as take_rows
         from ...parallel.mesh import active_plan
         parts = []
         if self.token_fields:
@@ -180,9 +204,7 @@ class ContextRecommender(AbstractRecommender):
                 emb = sharded_take_rows(plan.mesh,
                                         params["token_embedding"], ids)
             else:
-                emb = take_rows(self.token_vocab_total,
-                                params["token_embedding"],
-                                ids.reshape(-1)).reshape(B, F, -1)
+                emb = self._lookup(params["token_embedding"], ids)
             parts.append(emb)
         for j, (field, fetch) in enumerate(self.float_fields):
             val = fetch(batch).astype(jnp.float32)
@@ -211,12 +233,10 @@ class ContextRecommender(AbstractRecommender):
 
     def first_order(self, params, batch):
         """(B,) linear term (parity: FMFirstOrderLinear, layers.py:905)."""
-        from ...ops.bitgraph import take_rows_tuned as take_rows
         total = jnp.zeros(self.batch_len(batch)) + params["first_order_bias"]
         if self.token_fields:
             ids = self._token_ids(batch)                       # (B, F)
-            bias = take_rows(self.token_vocab_total, params["token_bias"],
-                             ids.reshape(-1)).reshape(ids.shape)
+            bias = self._lookup(params["token_bias"][:, None], ids)[..., 0]
             total = total + jnp.sum(bias, axis=1)
         for j, (field, fetch) in enumerate(self.float_fields):
             total = total + params["float_weight"][j] * \

@@ -199,6 +199,56 @@ def windowed_grad(ids, g, n_rows):
     return out[:n_rows]
 
 
+# ------------------------------------------------------------ field-grouped
+# The CTR unified vocabulary is a CONCATENATION of per-field vocabularies
+# (FMEmbedding offsets). That structure beats the generic scatter: a field
+# with a small vocabulary gets its dense (vocab_f, D) gradient from the
+# one-hot matmul and lands in the unified table with ONE contiguous
+# dynamic_update_slice (its offset range); only the handful of huge-vocab
+# fields (Criteo: 6 fields > 16K of 26) still need a scatter, and that
+# scatter shrinks from B*F rows to B*(large fields) — measured round 4:
+# the full 53K-row scatter into (2.57M, 10) costs ~4.7ms (row-serialized).
+
+SMALL_VOCAB_MAX = 16384
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def grouped_take_rows(field_spec, table, ids):
+    """table (V, D); ids (B, F) of GLOBAL (offset) ids; field_spec: tuple of
+    (offset, vocab) per field, in ids' column order. Forward is the plain
+    gather; backward assembles the dense (V, D) gradient per-field as above.
+    """
+    return table.at[ids].get(mode="promise_in_bounds")
+
+
+def _gtr_fwd(field_spec, table, ids):
+    return grouped_take_rows(field_spec, table, ids), \
+        (ids, table.shape)
+
+
+def _gtr_bwd(field_spec, res, g):
+    ids, (V, D) = res
+    g = g.astype(jnp.float32)
+    acc = jnp.zeros((V, D), jnp.float32)
+    large_ids, large_gs = [], []
+    for f, (off, vocab) in enumerate(field_spec):
+        idf = ids[:, f] - off
+        gf = g[:, f, :]
+        if vocab <= SMALL_VOCAB_MAX:
+            grad_f = onehot_matmul_grad_xla(idf, gf, vocab)
+            acc = jax.lax.dynamic_update_slice(acc, grad_f, (off, 0))
+        else:
+            large_ids.append(ids[:, f])
+            large_gs.append(gf)
+    if large_ids:
+        acc = acc.at[jnp.concatenate(large_ids)].add(
+            jnp.concatenate(large_gs))
+    return acc, None
+
+
+grouped_take_rows.defvjp(_gtr_fwd, _gtr_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def take_rows_dense_grad(n, x, rows):
     """x[rows] whose backward materializes the dense (n, D) gradient via the

@@ -105,6 +105,46 @@ def bench_ctr_windowed():
             return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
         return run
 
+    # Criteo's field structure for the grouped strategy
+    from recbole_tpu.ops.embed_grad import grouped_take_rows
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench_ctr
+    vocabs = bench_ctr.SHAPES["criteo"]["vocabs"]
+    offs, total = [], 0
+    for v in vocabs:
+        offs.append(total)
+        total += v
+    spec = tuple(zip(offs, vocabs))
+    kf = jax.random.key(9, impl="rbg")
+    fids = jnp.stack([jax.random.randint(jax.random.fold_in(kf, j),
+                                         (2048,), 0, v, jnp.int32) + o
+                      for j, (o, v) in enumerate(spec)], axis=1)  # (B, F)
+    table = jax.random.normal(jax.random.fold_in(kf, 99),
+                              (total, Dc), jnp.float32) * 0.01
+    gw = jax.random.normal(jax.random.fold_in(kf, 100),
+                           (2048, len(vocabs), Dc), jnp.float32)
+
+    @jax.jit
+    def run_grouped(table, fids, gw):
+        def body(i, acc):
+            idr = jnp.roll(fids, i, axis=0)
+
+            def loss(t):
+                return jnp.sum(grouped_take_rows(spec, t, idr) * gw)
+
+            return acc + jnp.max(jnp.abs(jax.grad(loss)(table)))
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+    try:
+        s = float(np.asarray(run_grouped(table, fids, gw)))
+        t0 = time.time()
+        s = float(np.asarray(run_grouped(table, fids, gw)))
+        dt = (time.time() - t0) / ITERS * 1e3
+        print(f"{'ctr-grouped':<13} {dt:8.3f} ms/iter (sink {s:.3e})",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{'ctr-grouped':<13} FAILED: {str(e)[:150]}", flush=True)
+
     for name, fn in [
         ("ctr-scatter", lambda i, v: jnp.zeros((Vc, Dc), jnp.float32)
             .at[i].add(v)),
