@@ -178,7 +178,19 @@ def mlp_apply(params, x, act="relu", dropout=0.0, rng=None, final_act=True,
 
 def dropout_apply(rng, x, rate):
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    # RECBOLE_TPU_DROPOUT_SHAPE picks the rng tensor shape for A/B probing
+    # (the TPU rng custom-call's output layout differs by rank and drags
+    # neighbors through layout copies — round-4 xplane trace): "flat" 1-D,
+    # "2d" (rows, lastdim), default: x.shape
+    import os
+    variant = os.environ.get("RECBOLE_TPU_DROPOUT_SHAPE", "")
+    if variant == "flat":
+        mask = jax.random.bernoulli(rng, keep, (x.size,)).reshape(x.shape)
+    elif variant == "2d":
+        mask = jax.random.bernoulli(
+            rng, keep, (x.size // x.shape[-1], x.shape[-1])).reshape(x.shape)
+    else:
+        mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0)
 
 
@@ -384,16 +396,20 @@ def transformer_apply(params, x, attn_mask, n_heads, act="gelu",
                                   causal=causal, dropout_rate=rate)
             ctx = ctx.reshape(B, L, D)
         else:
+            # no explicit head transpose: contract straight from the
+            # (B, L, H, hd) projection layout — the .transpose(0,2,1,3)
+            # form materialized extra layout copies of q/k/v and ctx
+            # (round-4 xplane trace)
             def proj(w, b):
                 return (dot_c(x, w, compute_dtype) + b) \
-                    .reshape(B, L, n_heads, hd).transpose(0, 2, 1, 3)
+                    .reshape(B, L, n_heads, hd)
 
             q = proj(layer["wq"], layer["bq"])
             k = proj(layer["wk"], layer["bk"])
             v = proj(layer["wv"], layer["bv"])
             q, k = cast_compute(compute_dtype, q, k)
             scores = jnp.einsum(
-                "bhld,bhmd->bhlm", q, k,
+                "blhd,bmhd->bhlm", q, k,
                 preferred_element_type=jnp.float32) / math.sqrt(hd)
             scores = scores + attn_mask
             probs = jax.nn.softmax(scores, axis=-1)
@@ -401,16 +417,22 @@ def transformer_apply(params, x, attn_mask, n_heads, act="gelu",
                 rng, dk = jax.random.split(rng)
                 probs = dropout_apply(dk, probs, attn_dropout)
             probs, v = cast_compute(compute_dtype, probs, v)
-            ctx = jnp.einsum("bhlm,bhmd->bhld", probs, v,
+            ctx = jnp.einsum("bhlm,bmhd->blhd", probs, v,
                              preferred_element_type=jnp.float32)
-            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, D)
+            ctx = ctx.reshape(B, L, D)
         attn_out = dot_c(ctx, layer["wo"], compute_dtype) + layer["bo"]
         if dropout > 0.0 and rng is not None:
             rng, dk = jax.random.split(rng)
             attn_out = dropout_apply(dk, attn_out, dropout)
         x = layer_norm(x + attn_out, layer["ln1_g"], layer["ln1_b"])
 
-        h = fn(dot_c(x, layer["ff1_w"], compute_dtype) + layer["ff1_b"])
+        h_in = dot_c(x, layer["ff1_w"], compute_dtype) + layer["ff1_b"]
+        if compute_dtype is not None:
+            # activation in compute dtype, so the (B, L, inner) residual
+            # autodiff saves for ff2's backward is bf16, not f32 (~105MB
+            # at ml-1m SASRec shape — round-4 trace fusion.474/475)
+            h_in = h_in.astype(compute_dtype)
+        h = fn(h_in)
         h = dot_c(h, layer["ff2_w"], compute_dtype) + layer["ff2_b"]
         if dropout > 0.0 and rng is not None:
             rng, dk = jax.random.split(rng)

@@ -274,9 +274,11 @@ def _tr_bwd(n, res, g):
     # ~4.7ms for 53K rows into 2.57M x 10).
     if kernel_supported(n, d):
         out = onehot_matmul_grad_xla(r, g2, n)
-    elif jax.default_backend() in ("tpu", "axon"):
-        out = windowed_grad(r, g2, n)
     else:
+        # large vocab: plain scatter. (windowed_grad is parked: its full-R
+        # VMEM residency lane-pads (R, D<=16) to (R, 128) and blows VMEM —
+        # needs the DMA-chunked variant; the field-grouped backward in
+        # grouped_take_rows covers the CTR case that motivated it.)
         out = jnp.zeros((n, d), jnp.float32).at[r].add(
             g2.astype(jnp.float32))
     return out.reshape((n,) + tuple(tail)), None

@@ -98,6 +98,31 @@ def main():
             for name, ns in agg.most_common(25):
                 print(f"   {ns / 1e6 / steps:8.4f} ms/step {100 * ns / total:5.1f}%"
                       f" x{cnt[name] // steps:<4d} {name[:80]}")
+            if line.name == "XLA Ops":
+                # individual copy/fusion events by duration, with shapes
+                # (metadata carries the full HLO text for some events)
+                best = {}
+                for ev in line.events:
+                    nm = ev.name
+                    if nm.split(".")[0].strip("%") not in (
+                            "copy", "fusion", "while",
+                            "multiply_convert_fusion"):
+                        continue
+                    key = re.sub(r"\.\d+$", "", nm)
+                    if ev.duration_ns > best.get(key, (0, ""))[0]:
+                        stmt = ""
+                        try:
+                            for sn, sv in ev.stats:
+                                if "long_name" in sn or "hlo" in sn.lower() \
+                                        or "expression" in sn.lower():
+                                    stmt = str(sv)[:160]
+                        except Exception:  # noqa: BLE001
+                            pass
+                        best[key] = (ev.duration_ns, stmt)
+                top = sorted(best.items(), key=lambda kv: -kv[1][0])[:20]
+                print("-- top copy/fusion instances:")
+                for key, (ns, stmt) in top:
+                    print(f"   {ns / 1e3:9.1f} us  {key[:60]} | {stmt}")
 
 
 if __name__ == "__main__":
