@@ -56,10 +56,12 @@ def bench_deepfm_criteo():
 
     Protocol notes (round-4, VERDICT task 7): 1 warm-up epoch + FIVE timed
     epochs (2 was noise-dominated: ~±8% run-to-run on the tunneled chip).
-    Levers exercised: the dedup-gather backward (always on in
-    context_base.embed_input); learner stays the default ``adam`` to match
-    the reference's own time-test protocol — ``sparse_adam`` is a separate
-    opt-in measured in scripts/bench_ctr_ab.py."""
+    Levers exercised: the field-grouped embedding backward (the TPU
+    default in context_base._lookup — small-vocab fields via contiguous
+    one-hot blocks, huge-vocab fields scatter); learner stays the default
+    ``adam`` to match the reference's own time-test protocol —
+    ``sparse_adam`` and the alternative gradient modes are measured in
+    scripts/bench_ctr_ab.py."""
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scripts"))
     import bench_ctr

@@ -30,8 +30,16 @@ class FFM(ContextRecommender):
         F = self.num_fields
         # field-aware token table: one embedding per (token, target-field)
         if self.token_vocab_total:
-            params["ffm_token_embedding"] = xavier_normal(
-                kf, (self.token_vocab_total, F, self.embedding_size))
+            # draw at the REAL vocab and zero-pad the mesh tail, so seeded
+            # init matches the single-chip run row-for-row (this 3-D table
+            # is never row-sharded; the padding only keeps id ranges valid)
+            emb = xavier_normal(
+                kf, (self._token_vocab_real, F, self.embedding_size))
+            pad = self.token_vocab_total - self._token_vocab_real
+            if pad:
+                emb = jnp.concatenate(
+                    [emb, jnp.zeros((pad, F, self.embedding_size))], axis=0)
+            params["ffm_token_embedding"] = emb
         if self.float_fields:
             params["ffm_float_embedding"] = xavier_normal(
                 jax.random.fold_in(kf, 1),

@@ -153,27 +153,14 @@ def rows_to_dense(rows, vals, n):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def take_rows(n, x, rows):
-    """x[rows] with a scatter-free backward (sorted segment-sum instead of
-    XLA's scatter-add). ``n`` must equal x.shape[0]; ``rows`` may have any
-    shape (the backward flattens it).
-
-    Env ``RECBOLE_TPU_NO_DEDUP_GATHER=1`` (read at trace time) falls back to
-    a plain gather whose backward is XLA's scatter-add — bench-only switch
-    for the dedup A/B (scripts/bench_ctr_ab.py)."""
-    return x.at[rows].get(mode="promise_in_bounds")
-
-
-def take_rows_tuned(n, x, rows):
-    """Default: plain gather (XLA scatter-add backward). The round-4 A/B at
-    Criteo shape (scripts/bench_ctr_ab.py, PARITY.md) measured the dedup
-    sort+segment-sum backward ~1.2 s/ep SLOWER than the plain scatter for
-    every {adam, sparse_adam} cell — XLA lowers the sorted segment-sum to a
-    scatter anyway, so the sort is pure overhead at this shape. Env
-    ``RECBOLE_TPU_DEDUP_GATHER=1`` re-enables the dedup backward (read at
-    trace time) for A/B reruns."""
-    import os
-    if os.environ.get("RECBOLE_TPU_DEDUP_GATHER"):
-        return take_rows(n, x, rows)
+    """x[rows] with a sort + sorted-segment-sum backward instead of XLA's
+    unsorted scatter-add. ``n`` must equal x.shape[0]; ``rows`` may have any
+    shape (the backward flattens it). NOTE the round-4 A/B
+    (scripts/bench_ctr_ab.py, PARITY.md): at Criteo shape this backward
+    measured SLOWER than the plain scatter (the sorted segment-sum still
+    lowers to a scatter; the sort is overhead) — CTR lookups default to the
+    field-grouped backward (ops/embed_grad.grouped_take_rows) instead, and
+    this VJP remains for the graph ops it was built for."""
     return x.at[rows].get(mode="promise_in_bounds")
 
 

@@ -1,22 +1,22 @@
-"""Embedding-gradient as a one-hot MXU matmul — the scatter killer for
-SMALL vocabularies.
+"""Embedding gradients without row-serialized scatters.
 
-Reference context: every sequential model's input lookup
-(recbole/model/abstract_recommender.py item_embedding over ~3.7K items at
-ml-1m scale) produces a backward scatter-add of B*L ~ 100K rows/step. TPU
-scatter is row-serialized (~67ns/row measured round 2), so that scatter is
-~7ms of an ~11ms SASRec step — the single largest line. For a vocabulary
-whose (V, D) f32 gradient fits VMEM, the TPU-native formulation is
+Reference context: every embedding lookup's backward is a scatter-add into
+the (V, D) table; TPU scatter is row-serialized (~0.09ms/10K rows measured
+at small vocab; ~4.7ms for 53K rows into Criteo's 2.57M x 10). This module
+holds the measured-and-chosen alternatives (round-4 micro-benches,
+scripts/bench_embed_grad.py / bench_ctr_anatomy.py):
 
-    grad_table = one_hot(ids)^T @ g
-
-run as a Pallas kernel: the (V, R_chunk) one-hot tile is BUILT IN VMEM
-(iota-compare, never touches HBM), the matmul rides the MXU, and the (V, D)
-f32 accumulator stays resident in VMEM across all R chunks. HBM traffic is
-just ids + g in and the table out; compute is 2*V*R*D MXU flops.
+* small vocab (fits the VMEM budget): grad_table = one_hot(ids)^T @ g as a
+  CHUNKED XLA scan of one-hot MXU matmuls — 0.45ms vs 0.79ms scatter at
+  102K rows into 3.7K x 64. (A Pallas variant that builds the one-hot in
+  VMEM measured slower, 1.0ms — kept below as onehot_matmul_grad.)
+* CTR unified vocabularies: grouped_take_rows exploits the per-field
+  offset structure — small-vocab fields' dense blocks land via contiguous
+  dynamic_update_slice, only huge-vocab fields scatter (2.5 vs 5.9ms at
+  Criteo shape).
 
 ``take_rows_dense_grad`` is the drop-in custom-VJP gather used by the
-sequential family (models/base.py::SequentialRecommender.embed_items).
+sequential family (models/base.py::SequentialRecommender.embed_seq).
 """
 
 import functools
@@ -168,8 +168,12 @@ def _windowed_kernel(starts_ref, loc_ref, vals_ref, out_ref):
 
 
 def windowed_grad(ids, g, n_rows):
-    """ids (R,) int32, g (R, D) -> (n_rows, D) f32, duplicates summed.
-    Sorts ids (lax.sort_key_val), then a Pallas window sweep."""
+    """PARKED — fails Mosaic compile at CTR scale: the full-R VMEM
+    residency lane-pads (R, D<=16) f32 to (R, 128) and blows the VMEM
+    budget; needs a DMA-chunked redesign. Interpret-mode-correct and kept
+    for that rework; no production caller (grouped_take_rows superseded it
+    for the CTR case). ids (R,) int32, g (R, D) -> (n_rows, D) f32,
+    duplicates summed."""
     R = ids.shape[0]
     D = g.shape[1]
     n_pad = _round_up(n_rows, W_ROWS)
@@ -251,10 +255,11 @@ grouped_take_rows.defvjp(_gtr_fwd, _gtr_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def take_rows_dense_grad(n, x, rows):
-    """x[rows] whose backward materializes the dense (n, D) gradient via the
-    one-hot MXU matmul above (Pallas when the accumulator fits VMEM, XLA
-    chunked scan otherwise) instead of XLA's row-serialized scatter-add.
-    ``rows`` may have any shape."""
+    """x[rows] whose backward materializes the dense (n, D) gradient via
+    the XLA chunked one-hot matmul for VMEM-budget vocabularies (measured
+    fastest on-chip: 0.45ms vs 0.79ms scatter / 1.0ms Pallas one-hot at
+    102K rows into 3.7K x 64) and a plain scatter otherwise. ``rows`` may
+    have any shape."""
     return x.at[rows].get(mode="promise_in_bounds")
 
 

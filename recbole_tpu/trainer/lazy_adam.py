@@ -13,12 +13,14 @@ measure-zero case of a touched row whose gradient is exactly 0.0 — torch
 would decay its moments, we skip it.
 
 The moment update stays a dense masked read/write (bandwidth, not scatter);
-this transform is a SEMANTICS fix, not a bandwidth fix. The structural perf
-lever for huge embedding tables is the dedup-gather VJP
-(ops/bitgraph.py::take_rows, wired via models/context/context_base.py).
-weight_decay is warned-and-dropped for this learner, matching torch
-SparseAdam (reference trainer.py:123-126) and preserving the g != 0
-touched-row mask (decay would make every row's update nonzero).
+this transform is a SEMANTICS fix, not a bandwidth fix — measured
+perf-neutral vs dense adam in the round-4 Criteo A/B. The structural perf
+lever for huge CTR tables is the field-grouped backward
+(ops/embed_grad.py::grouped_take_rows, the TPU default in
+models/context/context_base.py::_lookup). weight_decay is
+warned-and-dropped for this learner, matching torch SparseAdam (reference
+trainer.py:123-126) and preserving the g != 0 touched-row mask (decay
+would make every row's update nonzero).
 """
 
 from typing import NamedTuple

@@ -533,6 +533,10 @@ class Trainer:
 
     def prepare(self, train_data):
         """Initialize params/optimizer and build the default train mode."""
+        # re-assert THIS trainer's plan as the trace-time active plan —
+        # another trainer constructed since __init__ may have replaced it
+        from ..parallel.mesh import set_active_plan
+        set_active_plan(self.plan)
         if self.params is None:
             self.rng, init_key = jax.random.split(self.rng)
             self.params = self.model.attach_consts(
@@ -541,7 +545,9 @@ class Trainer:
                 self.params = self.plan.shard_params(self.params)
         # masking must also run on the resume path (params loaded from a
         # checkpoint whose opt_state was produced by the masked optimizer)
-        if isinstance(self.params, dict) and "_const" in self.params:
+        self._has_const = (isinstance(self.params, dict)
+                           and "_const" in self.params)
+        if self._has_const:
             self._mask_const_subtree()
         if self.opt_state is None:
             self.opt_state = self.optimizer.init(self.params)
@@ -717,17 +723,25 @@ class Trainer:
         (pre-r4 checkpoints still carry it — kept as-is). The model
         re-derives it from its construction-time dataset state via
         init_params; the learned leaves of that fresh tree are discarded.
-        The init key replays prepare()'s exact split off the construction
-        seed, so RNG-derived frozen consts (feat_embed's N(0,1) tables)
-        come back bit-identical. Must run BEFORE the checkpoint rng is
-        restored into self.rng."""
+        The init key replays prepare()'s exact first split off the PRISTINE
+        construction-seed key (self.rng may have advanced through training
+        by load time), so RNG-derived frozen consts (feat_embed's N(0,1)
+        tables) come back bit-identical."""
         if not isinstance(params, dict) or "_const" in params:
             return params
-        init_key = jax.random.split(self.rng)[1]
+        # skip the (possibly huge) rebuild when this trainer already built
+        # params in-process and knows the model carries no consts
+        if getattr(self, "_has_const", None) is False:
+            return params
+        seed_key = jax.random.key(self.config["seed"] or 0,
+                                  impl=self.config["prng_impl"] or "rbg")
+        init_key = jax.random.split(seed_key)[1]
         fresh = self.model.attach_consts(self.model.init_params(init_key))
         if isinstance(fresh, dict) and "_const" in fresh:
             params = dict(params)
             params["_const"] = fresh["_const"]
+        else:
+            self._has_const = False
         return params
 
     # ------------------------------------------------------------- evaluation
@@ -1074,6 +1088,8 @@ class Trainer:
 
     def evaluate(self, eval_data, load_best_model=True, model_file=None,
                  show_progress=False):
+        from ..parallel.mesh import set_active_plan
+        set_active_plan(self.plan)
         if load_best_model:
             self.load_params(model_file or self.saved_model_file)
         if self.params is None:

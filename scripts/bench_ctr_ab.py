@@ -1,10 +1,10 @@
 """Criteo scatter-story A/B (round-4 VERDICT task 4).
 
-Four cells — {adam, sparse_adam} x {dedup-gather backward ON, OFF} — at the
-reference's exact Criteo shape, DeepFM and FM, each 1 warm + 3 timed epochs,
-plus an HLO audit: the compiled loss-grad module is grepped for scatter ops
-in each dedup mode, so "the scatter disappears from the HLO" is a checked
-claim, not an assertion.
+Six cells — {adam, sparse_adam} x {grouped (r4 default), plain scatter,
+dedup sort+segment-sum} — at the reference's exact Criteo shape, DeepFM and
+FM, each 1 warm + 3 timed epochs, plus an HLO audit of each gradient mode's
+compiled loss-grad module (scatter/sort op counts), so backward-strategy
+claims are checked, not asserted.
 
 Run serialized on the TPU (one process at a time):
 
@@ -33,10 +33,8 @@ def hlo_scatter_audit(model_name, dataset_name="criteo"):
     from recbole_tpu.models import get_model
 
     out = {}
-    for mode in ("dedup", "scatter"):
-        os.environ.pop("RECBOLE_TPU_DEDUP_GATHER", None)
-        if mode == "dedup":
-            os.environ["RECBOLE_TPU_DEDUP_GATHER"] = "1"
+    for mode in ("grouped", "dedup", "scatter"):
+        _set_grad_mode(mode)
         cfg = Config(model_name, dataset_name, config_dict={
             "data_path": "/tmp", "state": "ERROR",
             "checkpoint_dir": "/tmp/bench_saved", "log_dir": "/tmp/bench_log",
@@ -71,8 +69,20 @@ def hlo_scatter_audit(model_name, dataset_name="criteo"):
             "sort": txt.count("sort("),
         }
         print(f"[hlo] {model_name} {mode}: {out[mode]}", flush=True)
-    os.environ.pop("RECBOLE_TPU_DEDUP_GATHER", None)
+    _set_grad_mode("grouped")
     return out
+
+
+def _set_grad_mode(mode):
+    """grouped = the r4 TPU default (field-grouped backward); scatter =
+    plain XLA scatter-add; dedup = sort + sorted segment-sum. Envs are read
+    at trace time by context_base._lookup."""
+    os.environ.pop("RECBOLE_TPU_DEDUP_GATHER", None)
+    os.environ.pop("RECBOLE_TPU_CTR_SCATTER", None)
+    if mode == "dedup":
+        os.environ["RECBOLE_TPU_DEDUP_GATHER"] = "1"
+    elif mode == "scatter":
+        os.environ["RECBOLE_TPU_CTR_SCATTER"] = "1"
 
 
 def main():
@@ -84,21 +94,19 @@ def main():
     for model in models:
         results[model] = {"hlo": hlo_scatter_audit(model)}
         for learner in ("adam", "sparse_adam"):
-            for dedup in (True, False):
-                os.environ.pop("RECBOLE_TPU_DEDUP_GATHER", None)
-                if dedup:
-                    os.environ["RECBOLE_TPU_DEDUP_GATHER"] = "1"
+            for mode in ("grouped", "scatter", "dedup"):
+                _set_grad_mode(mode)
                 t0 = time.time()
                 tr, ev = bench_ctr.bench_model(
                     model, "criteo", epochs=3,
                     config_overrides={"learner": learner})
-                cell = f"{learner}/{'dedup' if dedup else 'scatter'}"
+                cell = f"{learner}/{mode}"
                 results[model][cell] = round(tr, 3)
                 ref = bench_ctr.REFERENCE["criteo"][model][0]
                 print(f"[cell] {model} {cell}: {tr:.3f} s/ep "
                       f"(ref {ref:.2f}, {ref / tr:.2f}x; wall "
                       f"{time.time() - t0:.0f}s)", flush=True)
-        os.environ.pop("RECBOLE_TPU_DEDUP_GATHER", None)
+        _set_grad_mode("grouped")
     print("AB_RESULT " + json.dumps(results), flush=True)
 
 

@@ -131,6 +131,17 @@ def test_reattach_consts_reproduces_frozen_tables(synth_dataset_dir,
         np.testing.assert_array_equal(np.asarray(rebuilt["_const"][k]),
                                       np.asarray(const1[k]), err_msg=k)
 
+    # the quick_start flow calls evaluate(load_best_model=True) AFTER fit,
+    # when self.rng has advanced far past the construction seed — the
+    # rebuild key must come from the pristine seed, not the live rng
+    t1.rng, _ = jax.random.split(t1.rng, 2)
+    t1.rng, _ = jax.random.split(t1.rng, 2)
+    rebuilt2 = t1._reattach_consts(stripped)
+    for k in const1:
+        np.testing.assert_array_equal(np.asarray(rebuilt2["_const"][k]),
+                                      np.asarray(const1[k]),
+                                      err_msg=f"post-fit {k}")
+
 
 def test_bitgraph_budget_gates_default(synth_dataset_dir, tmp_path,
                                        monkeypatch):
