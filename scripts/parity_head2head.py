@@ -61,8 +61,8 @@ PRESETS = {
 def run_tpu(model, cfg, seed):
     from recbole_tpu import run_recbole
     r = run_recbole(model=model, dataset="ml-100k",
-                    config_dict={**cfg, "seed": seed,
-                                 "valid_full_to_uni1000": False,
+                    config_dict={"valid_full_to_uni1000": False, **cfg,
+                                 "seed": seed,
                                  "data_path": ML100K_PATH},
                     saved=False)
     return {"best_valid": dict(r["best_valid_result"]),
