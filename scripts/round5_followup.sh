@@ -4,10 +4,11 @@
 set -x
 cd "$(dirname "$0")/.."
 
-# 1. SASRec 3-seed head-to-head, the expensive half: the reference side
-#    needs ~2.5h CPU per 50-epoch seed on this box (round-4 measured
-#    ~180-400 s/epoch torch-CPU under load). TPU-side seeds 2020 (done,
-#    /tmp/h2h_sasrec_tpu.log round-4) cost ~25 min each.
+# 1. SASRec 3-seed head-to-head — TPU side DONE (all 3 seeds measured
+#    2026-08-21, docs/evidence/h2h_sasrec_tpu_partial.jsonl; GRU4Rec
+#    uni1000-valid cell also measured, ours ahead). Only the reference
+#    side remains, and it needs ~2.5h CPU per 50-epoch seed on this box
+#    (round-4 measured ~180-400 s/epoch torch-CPU under load).
 #    RECBOLE_H2H_PLATFORM=cpu keeps our side off the TPU.
 # RECBOLE_H2H_PLATFORM=cpu python -u scripts/parity_head2head.py \
 #     --model=SASRec --preset=seq --side=ref
