@@ -5,7 +5,7 @@ set -x
 cd "$(dirname "$0")/.."
 
 # 1. SASRec 3-seed head-to-head — TPU side DONE (all 3 seeds measured
-#    2026-08-21, docs/evidence/h2h_sasrec_tpu_partial.jsonl; GRU4Rec
+#    2026-08-21, docs/evidence/h2h_sasrec_tpu.jsonl; GRU4Rec
 #    uni1000-valid cell also measured, ours ahead). Only the reference
 #    side remains, and it needs ~2.5h CPU per 50-epoch seed on this box
 #    (round-4 measured ~180-400 s/epoch torch-CPU under load).
