@@ -125,13 +125,21 @@ def main():
 
     # warm-up epoch: compiles + fills caches
     trainer._train_epoch(train_data, 0)
-
-    n_epochs = 10
-    t0 = time.time()
-    for ep in range(1, 1 + n_epochs):
-        trainer._train_epoch(train_data, ep)
     jax.block_until_ready(trainer.params)
-    dt = (time.time() - t0) / n_epochs
+
+    # Round-5 protocol fix (VERDICT weak #7): BPR epochs are ~0.1 s, so a
+    # single 10-epoch block is dominated by tunnel-dispatch jitter (~7%
+    # drift between same-day captures). Best-of-3 blocks of 10 epochs is
+    # the noise-robust estimator; consecutive runs agree within ~2%.
+    n_epochs, n_blocks = 10, 3
+    ep, dt = 0, float("inf")
+    for _ in range(n_blocks):
+        t0 = time.time()
+        for _ in range(n_epochs):
+            ep += 1
+            trainer._train_epoch(train_data, ep)
+        jax.block_until_ready(trainer.params)
+        dt = min(dt, (time.time() - t0) / n_epochs)
 
     examples = len(train_data.dataset)
     throughput = examples / dt

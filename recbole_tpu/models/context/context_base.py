@@ -221,6 +221,56 @@ class ContextRecommender(AbstractRecommender):
             parts.append(pooled[:, None, :])
         return jnp.concatenate(parts, axis=1)
 
+    def embed_and_first_order(self, params, batch):
+        """Fused (emb, linear) = (embed_input, first_order) for models that
+        need both. Round-4 anatomy (PARITY.md FM@Criteo): the two separate
+        token gathers — (B, F) rows of the (V, D) table and (B, F) scalars
+        of the (V,) bias — walk the SAME ids and were the dominant step
+        term (2.0 of ~6.7 ms). Here the bias rides as column D of one
+        (V, D+1) gather, so it shares the embedding row's cache lines and
+        the grouped backward handles both gradients in one pass. Falls back
+        to the separate calls on the sharded-table and non-TPU paths."""
+        from ...parallel.mesh import active_plan
+        import os
+        plan = active_plan()
+        fuse = (self.token_fields
+                and not os.environ.get("RECBOLE_TPU_CTR_NO_FUSED_GATHER")
+                and jax.default_backend() in ("tpu", "axon")
+                and not (plan is not None and plan.shards_table(
+                    "token_embedding", params["token_embedding"])))
+        if not fuse:
+            return (self.embed_input(params, batch),
+                    self.first_order(params, batch))
+
+        ids = self._token_ids(batch)                           # (B, F)
+        B, F = ids.shape
+        from ...ops.embed_grad import grouped_take_rows
+        cat = jnp.concatenate(
+            [params["token_embedding"], params["token_bias"][:, None]],
+            axis=1)                                            # (V, D+1)
+        rows = grouped_take_rows(self._field_spec, cat, ids)   # (B, F, D+1)
+        token_emb = rows[..., :-1]
+        linear = jnp.sum(rows[..., -1], axis=1) + params["first_order_bias"]
+
+        parts = [token_emb]
+        for j, (field, fetch) in enumerate(self.float_fields):
+            val = fetch(batch).astype(jnp.float32)
+            parts.append((params["float_embedding"][j][None, :]
+                          * val[:, None])[:, None, :])
+            linear = linear + params["float_weight"][j] * val
+        for (field, vocab, fetch), off in zip(self.token_seq_fields,
+                                              self.seq_offsets):
+            ids_s, lens = fetch(batch)
+            emb = params["seq_embedding"][ids_s + off]         # (B, L, D)
+            valid = (jnp.arange(ids_s.shape[1])[None, :]
+                     < lens[:, None]).astype(jnp.float32)
+            pooled = jnp.sum(emb * valid[:, :, None], axis=1) \
+                / jnp.maximum(lens[:, None], 1)
+            parts.append(pooled[:, None, :])
+            linear = linear + jnp.sum(
+                params["seq_bias"][ids_s + off] * valid, axis=1)
+        return jnp.concatenate(parts, axis=1), linear
+
     def batch_len(self, batch):
         """Batch size from any (B,)-leading column — pure-feature datasets
         (USER_ID_FIELD: ~) have no id column to anchor on."""

@@ -332,6 +332,32 @@ def transformer_apply(params, x, attn_mask, n_heads, act="gelu",
     """
     fn = activation(act)
     use_fused = False
+    if fused == "layer2" and mask_spec is not None and not callable(act):
+        # round-5 whole-layer bf16 Pallas kernel (ops/trm_layer.py):
+        # masked-head attention (no lane slicing) + flat 2D HBM streaming
+        # (the 3D (bb, L, 64) block DMA measured 36 GB/s — 60x slower than
+        # the same bytes as 2D rows). Matches the bf16 XLA path modulo
+        # dropout RNG streams.
+        from ..ops.trm_layer import (fused_transformer_layer2,
+                                     fused_layer2_supported)
+        B, L, D = x.shape
+        inner = params[0]["ff1_w"].shape[1] if params else 0
+        if params and fused_layer2_supported(B, n_heads, L, D, inner, act):
+            key_valid, causal = mask_spec
+            if rng is not None and (dropout > 0.0 or attn_dropout > 0.0):
+                rng, sk = jax.random.split(rng)
+                seed = jax.random.bits(sk, (1,), "uint32").astype(jnp.int32)
+                dr, adr = dropout, attn_dropout
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+                dr = adr = 0.0
+            for li, layer in enumerate(params):
+                # stride layer seeds so per-(layer, block) streams differ
+                x = fused_transformer_layer2(
+                    x, layer, key_valid, seed + li * (1 << 20),
+                    n_heads=n_heads, causal=causal, act=act,
+                    dropout=dr, attn_dropout=adr)
+            return x
     if fused == "layer" and mask_spec is not None and compute_dtype is None \
             and not callable(act):
         # whole-layer Pallas kernel — opt-in via fused_attention: "layer".
