@@ -52,12 +52,17 @@ TRAINING_DEFAULTS = {
     "scan_epochs_max_bytes": 2 << 30,
     "profile_trace_dir": None,          # jax.profiler trace output (fork: torch profiler)
     # fused Pallas attention (mask+softmax+dropout+matmuls in one kernel,
-    # TPU only; XLA path used automatically anywhere it doesn't apply).
-    # Default OFF: at catalog shapes (L=50, D=64) the whole-epoch A/B measured
-    # XLA ahead (SASRec ml-1m 5.81 vs 6.53 s/epoch — the kernel's bwd pays
-    # more in grid overhead than it saves in HBM traffic at tiny L). Turn on
-    # for long-sequence / large-D configs where the (B,H,L,L) tensor dominates.
-    "fused_attention": False,
+    # TPU only; XLA path used automatically anywhere it doesn't apply.
+    # "layer2" = the round-5 whole-layer bf16 Pallas kernel
+    # (ops/trm_layer.py: masked-head attention, flat-2D HBM streaming) —
+    # measured 10.10 vs 11.56 ms/step on the full SASRec ml-1m train step
+    # (per-layer fwd+bwd 3.43 vs 4.2 ms, XLA's 4.2 ms/step of
+    # (B,H,L,L) layout copies collapse to 0.4). True/"attention" = the
+    # round-4 attention-only kernel (net-neutral at catalog shapes);
+    # "layer" = the round-4 fp32 whole-layer kernel (measured slower —
+    # kept as the pinned-correct single-dispatch reference). False = pure
+    # XLA. Unsupported shapes/platforms fall back automatically.
+    "fused_attention": "layer2",
     # KG trainer loop policies (parity: KGTrainer/MKRTrainer config keys)
     "train_rec_step": None,
     "train_kg_step": None,

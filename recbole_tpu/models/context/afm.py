@@ -38,7 +38,7 @@ class AFM(ContextRecommender):
         return params
 
     def _logits(self, params, batch, rng=None):
-        emb = self.embed_input(params, batch)                  # (B, F, D)
+        emb, linear = self.embed_and_first_order(params, batch)  # fused gather
         pairs = emb[:, self.pair_i, :] * emb[:, self.pair_j, :]  # (B, P, D)
         # AttLayer: RELU(x @ w), no bias (reference layers.py:200-222)
         att = jax.nn.relu(jnp.dot(pairs, params["attn_w"],
@@ -53,7 +53,7 @@ class AFM(ContextRecommender):
             from ..layers import dropout_apply
             pooled = dropout_apply(dk, pooled, self.dropout_prob)
         inter = jnp.dot(pooled, params["p"], preferred_element_type=jnp.float32)
-        return self.first_order(params, batch) + inter
+        return linear + inter
 
     def calculate_loss(self, params, batch, rng=None):
         loss = bce_loss(self._logits(params, batch, rng), batch[self.LABEL],

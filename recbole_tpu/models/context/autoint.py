@@ -56,7 +56,7 @@ class AutoInt(ContextRecommender):
         return params
 
     def _logits(self, params, batch, rng=None):
-        emb = self.embed_input(params, batch)                  # (B, F, D)
+        emb, linear = self.embed_and_first_order(params, batch)  # fused gather
         B, F, _ = emb.shape
         H = self.num_heads
         A = self.attention_size
@@ -96,7 +96,7 @@ class AutoInt(ContextRecommender):
         deep = (jnp.dot(h, params["mlp_out_w"],
                         preferred_element_type=jnp.float32)[:, 0]
                 + params["mlp_out_b"][0])
-        return self.first_order(params, batch) + attn_term + deep
+        return linear + attn_term + deep
 
     def calculate_loss(self, params, batch, rng=None):
         return bce_loss(self._logits(params, batch, rng), batch[self.LABEL],

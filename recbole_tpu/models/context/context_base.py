@@ -235,7 +235,8 @@ class ContextRecommender(AbstractRecommender):
         plan = active_plan()
         fuse = (self.token_fields
                 and not os.environ.get("RECBOLE_TPU_CTR_NO_FUSED_GATHER")
-                and jax.default_backend() in ("tpu", "axon")
+                and (jax.default_backend() in ("tpu", "axon")
+                     or os.environ.get("RECBOLE_TPU_CTR_FORCE_FUSED"))
                 and not (plan is not None and plan.shards_table(
                     "token_embedding", params["token_embedding"])))
         if not fuse:

@@ -33,8 +33,8 @@ class DeepFM(ContextRecommender):
         return params
 
     def _logits(self, params, batch, rng=None):
-        emb = self.embed_input(params, batch)                  # (B, F, D)
-        y_fm = self.first_order(params, batch) + fm_pairwise(emb)
+        emb, linear = self.embed_and_first_order(params, batch)  # fused gather
+        y_fm = linear + fm_pairwise(emb)
         h = mlp_apply(params["mlp"], emb.reshape(emb.shape[0], -1),
                       act="relu", dropout=self.dropout_prob, rng=rng)
         y_deep = jnp.dot(h, params["deep_out_w"],

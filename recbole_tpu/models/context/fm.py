@@ -21,8 +21,8 @@ class FM(ContextRecommender):
         return self.init_context_params(rng)
 
     def _logits(self, params, batch):
-        emb = self.embed_input(params, batch)                  # (B, F, D)
-        return self.first_order(params, batch) + fm_pairwise(emb)
+        emb, linear = self.embed_and_first_order(params, batch)  # fused gather
+        return linear + fm_pairwise(emb)
 
     def calculate_loss(self, params, batch, rng=None):
         return bce_loss(self._logits(params, batch), batch[self.LABEL],

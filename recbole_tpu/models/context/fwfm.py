@@ -35,11 +35,11 @@ class FwFM(ContextRecommender):
         return params
 
     def _logits(self, params, batch, rng=None):
-        emb = self.embed_input(params, batch)
+        emb, linear = self.embed_and_first_order(params, batch)
         inner = jnp.sum(emb[:, self.pair_i, :] * emb[:, self.pair_j, :], -1)
         inter = jnp.dot(inner, params["pair_weight"],
                         preferred_element_type=jnp.float32)
-        return self.first_order(params, batch) + inter
+        return linear + inter
 
     def calculate_loss(self, params, batch, rng=None):
         return bce_loss(self._logits(params, batch, rng), batch[self.LABEL],

@@ -37,7 +37,7 @@ class NFM(ContextRecommender):
         return params
 
     def _logits(self, params, batch, rng=None):
-        emb = self.embed_input(params, batch)
+        emb, linear = self.embed_and_first_order(params, batch)
         bi = 0.5 * (jnp.square(jnp.sum(emb, 1)) - jnp.sum(jnp.square(emb), 1))
         w = batch.get("_weight")
         bi = bn_apply(bi, params["fm_bn_g"], params["fm_bn_b"], w=w)
@@ -45,7 +45,7 @@ class NFM(ContextRecommender):
                       dropout=self.dropout_prob, rng=rng, bn_w=w)
         deep = jnp.dot(h, params["out_w"],
                        preferred_element_type=jnp.float32)[:, 0]
-        return self.first_order(params, batch) + deep
+        return linear + deep
 
     def calculate_loss(self, params, batch, rng=None):
         return bce_loss(self._logits(params, batch, rng), batch[self.LABEL],

@@ -34,12 +34,12 @@ class WideDeep(ContextRecommender):
         return params
 
     def _logits(self, params, batch, rng=None):
-        emb = self.embed_input(params, batch)
+        emb, linear = self.embed_and_first_order(params, batch)
         h = mlp_apply(params["mlp"], emb.reshape(emb.shape[0], -1),
                       act="relu", dropout=self.dropout_prob, rng=rng)
         deep = jnp.dot(h, params["out_w"],
                        preferred_element_type=jnp.float32)[:, 0] + params["out_b"][0]
-        return self.first_order(params, batch) + deep
+        return linear + deep
 
     def calculate_loss(self, params, batch, rng=None):
         return bce_loss(self._logits(params, batch, rng), batch[self.LABEL],

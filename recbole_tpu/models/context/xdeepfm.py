@@ -105,9 +105,8 @@ class XDeepFM(ContextRecommender):
         return pooled
 
     def _logits(self, params, batch, rng=None):
-        emb = self.embed_input(params, batch)
+        emb, linear = self.embed_and_first_order(params, batch)
         B = emb.shape[0]
-        linear = self.first_order(params, batch)
         cin = jnp.dot(self._cin(params, emb), params["cin_out_w"],
                       preferred_element_type=jnp.float32)[:, 0]
         deep = mlp_apply(params["mlp"], emb.reshape(B, -1), act="relu",

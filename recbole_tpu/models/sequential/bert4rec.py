@@ -76,7 +76,7 @@ class BERT4Rec(SequentialRecommender):
             dropout=self.hidden_dropout_prob if rng is not None else 0.0,
             attn_dropout=self.attn_dropout_prob if rng is not None else 0.0,
             rng=rng, mask_spec=(valid.astype(jnp.int32), False),
-            fused=bool(self.config["fused_attention"]))
+            fused=self.config["fused_attention"])
 
     def calculate_loss(self, params, batch, rng=None):
         seq = batch[self.ITEM_SEQ]

@@ -104,7 +104,7 @@ class FDSA(SequentialRecommender):
             .astype(jnp.int32)
         dp = self.hidden_dropout_prob if rng is not None else 0.0
         adp = self.attn_dropout_prob if rng is not None else 0.0
-        fused = bool(self.config["fused_attention"])
+        fused = self.config["fused_attention"]
         item_h = transformer_apply(params["item_encoder"], item_x, None,
                                    self.n_heads, act=self.hidden_act,
                                    dropout=dp, attn_dropout=adp, rng=rng,

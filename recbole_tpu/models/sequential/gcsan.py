@@ -69,7 +69,7 @@ class GCSAN(SequentialRecommender):
         out = transformer_apply(params["encoder"], seq_hidden, None,
                                 self.n_heads, act=self.hidden_act,
                                 mask_spec=(key_valid, True),
-                                fused=bool(self.config["fused_attention"]))
+                                fused=self.config["fused_attention"])
         at = self.gather_last(out, seq_len)
         return self.weight * at + (1 - self.weight) * ht
 

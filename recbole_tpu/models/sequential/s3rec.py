@@ -137,7 +137,7 @@ class S3Rec(SequentialRecommender):
             dropout=self.hidden_dropout_prob if rng is not None else 0.0,
             attn_dropout=self.attn_dropout_prob if rng is not None else 0.0,
             rng=rng, mask_spec=(key_valid, causal),
-            fused=bool(self.config["fused_attention"]))
+            fused=self.config["fused_attention"])
 
     # ---------------------------------------------------------------- losses
 

@@ -74,7 +74,7 @@ class SASRec(SequentialRecommender):
                               attn_dropout=self.attn_dropout_prob if rng is not None else 0.0,
                               rng=rng, compute_dtype=self.cdt,
                               mask_spec=(key_valid, True),
-                              fused=bool(self.config["fused_attention"]))
+                              fused=self.config["fused_attention"])
         return self.gather_last(h, seq_len)
 
     def calculate_loss(self, params, batch, rng=None):

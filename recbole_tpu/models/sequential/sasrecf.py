@@ -86,5 +86,5 @@ class SASRecF(SequentialRecommender):
             dropout=self.hidden_dropout_prob if rng is not None else 0.0,
             attn_dropout=self.attn_dropout_prob if rng is not None else 0.0,
             rng=rng, mask_spec=(key_valid, True),
-            fused=bool(self.config["fused_attention"]))
+            fused=self.config["fused_attention"])
         return self.gather_last(h, seq_len)

@@ -324,9 +324,12 @@ def _batch_block(B, H, L, D, I, training=True):
     replay (seed + program_id) forces fwd and bwd onto the SAME grid, so
     the training instantiation (any dropout > 0, which also marks the
     grad-bearing path) takes the backward's optimum and the eval one the
-    forward's. Env override: RECBOLE_TPU_TRM2_BUDGET (bytes)."""
+    forward's. With the flat-2D streaming I/O the grad+dropout sweep
+    measured bb=8: 7.26, bb=16: 5.10, bb=32: 4.70, bb=64: 5.69 ms —
+    training defaults to the bb=32 budget. Env override:
+    RECBOLE_TPU_TRM2_BUDGET (bytes)."""
     pad = lambda x, m: ((x + m - 1) // m) * m
-    default = (5 if training else 10) * 1024 * 1024
+    default = (20 if training else 10) * 1024 * 1024
     budget = int(os.environ.get("RECBOLE_TPU_TRM2_BUDGET", default))
     for cand in (128, 64, 32, 16, 8):
         if B % cand:

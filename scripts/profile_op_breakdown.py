@@ -32,8 +32,11 @@ def main():
     from recbole_tpu.config.configurator import Config
     from recbole_tpu.models import get_model
 
+    extra = {}
+    if os.environ.get("RECBOLE_TPU_FUSED_ATTENTION"):
+        extra["fused_attention"] = os.environ["RECBOLE_TPU_FUSED_ATTENTION"]
     cfg = Config("SASRec", "synthetic", config_dict={
-        "MAX_ITEM_LIST_LENGTH": L}, _parse_cmd_line=False)
+        "MAX_ITEM_LIST_LENGTH": L, **extra}, _parse_cmd_line=False)
     model = get_model("SASRec")(cfg, _Info())
     params = model.zero_pad_rows(model.init_params(
         jax.random.key(0, impl="rbg")))

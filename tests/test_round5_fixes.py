@@ -1,0 +1,120 @@
+"""Round-5 regressions: fused CTR gather parity + trm_layer kernel parity.
+
+1. ContextRecommender.embed_and_first_order (one (V, D+1) gather carrying
+   the first-order bias as the last column) must match the separate
+   embed_input + first_order pair in values AND gradients.
+2. ops/trm_layer.fused_transformer_layer2 (interpret mode) must match the
+   XLA bf16 transformer path in forward and gradients.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _fm_setup(synth_dataset_dir, tmp_path):
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.data.dataset import Dataset
+    from recbole_tpu.data.utils import data_preparation
+    from recbole_tpu.models import get_model
+
+    config = Config("FM", "synth", config_dict={
+        "data_path": synth_dataset_dir, "state": "ERROR",
+        "threshold": {"rating": 4}, "normalize_all": True,
+        "checkpoint_dir": str(tmp_path / "saved"),
+        "log_dir": str(tmp_path / "log"),
+        "load_col": {"inter": ["user_id", "item_id", "rating", "timestamp"],
+                     "user": ["user_id", "age", "gender"],
+                     "item": ["item_id", "genre", "price"]},
+    }, _parse_cmd_line=False)
+    ds = Dataset(config)
+    train_data, _, _ = data_preparation(config, ds)
+    model = get_model("FM")(config, train_data.dataset)
+    params = model.init_params(jax.random.key(0, impl="rbg"))
+    cols = train_data.dataset.inter_feat
+    n = 64
+    batch = {k: jnp.asarray(v[:n]) for k, v in cols.items()
+             if isinstance(v, np.ndarray) and v.ndim == 1}
+    return model, params, batch
+
+
+def test_fused_ctr_gather_matches_separate(synth_dataset_dir, tmp_path):
+    model, params, batch = _fm_setup(synth_dataset_dir, tmp_path)
+
+    def fused(p):
+        os.environ["RECBOLE_TPU_CTR_FORCE_FUSED"] = "1"
+        try:
+            emb, linear = model.embed_and_first_order(p, batch)
+        finally:
+            os.environ.pop("RECBOLE_TPU_CTR_FORCE_FUSED", None)
+        return emb, linear
+
+    def separate(p):
+        return model.embed_input(p, batch), model.first_order(p, batch)
+
+    emb_f, lin_f = fused(params)
+    emb_s, lin_s = separate(params)
+    np.testing.assert_allclose(np.asarray(emb_f), np.asarray(emb_s),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lin_f), np.asarray(lin_s),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_fused(p):
+        emb, linear = fused(p)
+        return jnp.sum(jnp.tanh(linear + jnp.sum(emb, axis=(1, 2))))
+
+    def loss_sep(p):
+        emb, linear = separate(p)
+        return jnp.sum(jnp.tanh(linear + jnp.sum(emb, axis=(1, 2))))
+
+    gf = jax.grad(loss_fused)(params)
+    gs = jax.grad(loss_sep)(params)
+    for k in gs:
+        np.testing.assert_allclose(
+            np.asarray(gf[k]), np.asarray(gs[k]), rtol=1e-5, atol=1e-5,
+            err_msg=f"grad mismatch on {k}")
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_trm_layer2_matches_xla(causal):
+    from recbole_tpu.models.layers import transformer_init, transformer_apply
+    from recbole_tpu.ops.trm_layer import fused_transformer_layer2
+
+    B, L, D, H, I = 8, 8, 16, 2, 32
+    rng = jax.random.key(0, impl="rbg")
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = transformer_init(k1, 1, H, D, I)
+    x = jax.random.normal(k2, (B, L, D), jnp.float32) * 0.5
+    lens = jax.random.randint(k3, (B,), 1, L + 1, jnp.int32)
+    key_valid = (jnp.arange(L)[None, :] < lens[:, None]).astype(jnp.int32)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def xla_fwd(p, x):
+        return transformer_apply(p, x, None, H, act="gelu",
+                                 compute_dtype=jnp.bfloat16,
+                                 mask_spec=(key_valid, causal))
+
+    def ker_fwd(p, x):
+        return fused_transformer_layer2(x, p[0], key_valid, seed, n_heads=H,
+                                        causal=causal, interpret=True)
+
+    y_ref = xla_fwd(params, x)
+    y_ker = ker_fwd(params, x)
+    scale = float(jnp.max(jnp.abs(y_ref)))
+    assert float(jnp.max(jnp.abs(y_ref - y_ker))) < 2e-2 * scale
+
+    gx = jax.grad(lambda p, x: jnp.sum(jnp.tanh(xla_fwd(p, x))),
+                  argnums=(0, 1))(params, x)
+    gk = jax.grad(lambda p, x: jnp.sum(jnp.tanh(ker_fwd(p, x))),
+                  argnums=(0, 1))(params, x)
+    fx, _ = jax.tree_util.tree_flatten(gx)
+    fk, _ = jax.tree_util.tree_flatten(gk)
+    gscale = max(float(jnp.max(jnp.abs(a))) for a in fx)
+    for a, b in zip(fx, fk):
+        # floor the denominator: leaves whose true grad is ~0 (e.g. bk)
+        # make pure relative error meaningless
+        denom = max(float(jnp.max(jnp.abs(a))), 1e-2 * gscale)
+        assert float(jnp.max(jnp.abs(a - b))) / denom < 3e-2
