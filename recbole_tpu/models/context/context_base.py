@@ -142,8 +142,17 @@ class ContextRecommender(AbstractRecommender):
             if pad:
                 emb = jnp.concatenate(
                     [emb, jnp.zeros((pad, self.embedding_size))], axis=0)
-            params["token_embedding"] = emb
-            params["token_bias"] = jnp.zeros((self.token_vocab_total,))
+            # MERGED STORAGE (round 5): the first-order bias lives as column
+            # D of the embedding table, so second-order rows and bias ride
+            # ONE (V, D+1) gather over the same ids (the two separate walks
+            # were the dominant FM@Criteo step term, round-4 anatomy), the
+            # grouped backward handles both gradients in one pass, and the
+            # optimizer sweeps one table instead of two. The bias column
+            # initializes to zero exactly like the old (V,) token_bias; the
+            # xavier fan of the embedding part is computed on (V, D), so
+            # seeded init values match the split layout row-for-row.
+            params["token_embedding"] = jnp.concatenate(
+                [emb, jnp.zeros((self.token_vocab_total, 1))], axis=1)
         if self.float_fields:
             params["float_embedding"] = xavier_normal(
                 ks[1], (len(self.float_fields), self.embedding_size))
@@ -190,22 +199,24 @@ class ContextRecommender(AbstractRecommender):
         from ...ops.embed_grad import grouped_take_rows
         return grouped_take_rows(self._field_spec, table, ids)
 
+    def _token_rows(self, params, batch):
+        """(B, F, D+1) rows of the merged token table (embedding cols 0..D-1,
+        first-order bias col D) — ONE gather serves both terms."""
+        from ...parallel.mesh import active_plan
+        ids = self._token_ids(batch)                           # (B, F)
+        plan = active_plan()
+        if plan is not None and plan.shards_table(
+                "token_embedding", params["token_embedding"]):
+            from ...parallel.embed import sharded_take_rows
+            return sharded_take_rows(plan.mesh,
+                                     params["token_embedding"], ids)
+        return self._lookup(params["token_embedding"], ids)
+
     def embed_input(self, params, batch):
         """(B, num_fields, D) second-order embeddings."""
-        from ...parallel.mesh import active_plan
         parts = []
         if self.token_fields:
-            ids = self._token_ids(batch)                       # (B, F)
-            B, F = ids.shape
-            plan = active_plan()
-            if plan is not None and plan.shards_table(
-                    "token_embedding", params["token_embedding"]):
-                from ...parallel.embed import sharded_take_rows
-                emb = sharded_take_rows(plan.mesh,
-                                        params["token_embedding"], ids)
-            else:
-                emb = self._lookup(params["token_embedding"], ids)
-            parts.append(emb)
+            parts.append(self._token_rows(params, batch)[..., :-1])
         for j, (field, fetch) in enumerate(self.float_fields):
             val = fetch(batch).astype(jnp.float32)
             parts.append((params["float_embedding"][j][None, :]
@@ -225,31 +236,17 @@ class ContextRecommender(AbstractRecommender):
         """Fused (emb, linear) = (embed_input, first_order) for models that
         need both. Round-4 anatomy (PARITY.md FM@Criteo): the two separate
         token gathers — (B, F) rows of the (V, D) table and (B, F) scalars
-        of the (V,) bias — walk the SAME ids and were the dominant step
-        term (2.0 of ~6.7 ms). Here the bias rides as column D of one
-        (V, D+1) gather, so it shares the embedding row's cache lines and
-        the grouped backward handles both gradients in one pass. Falls back
-        to the separate calls on the sharded-table and non-TPU paths."""
-        from ...parallel.mesh import active_plan
-        import os
-        plan = active_plan()
-        fuse = (self.token_fields
-                and not os.environ.get("RECBOLE_TPU_CTR_NO_FUSED_GATHER")
-                and (jax.default_backend() in ("tpu", "axon")
-                     or os.environ.get("RECBOLE_TPU_CTR_FORCE_FUSED"))
-                and not (plan is not None and plan.shards_table(
-                    "token_embedding", params["token_embedding"])))
-        if not fuse:
+        of the (V,) bias — walked the SAME ids and were the dominant step
+        term (2.0 of ~6.7 ms). With the merged (V, D+1) table (bias as
+        column D, init_context_params) both terms ride one gather on every
+        path. A first attempt that CONCATENATED the split tables per step
+        measured SLOWER (FM@Criteo 7.06 vs 6.67 s/ep — the (V, D+1) concat
+        + backward split cost more than the shared gather saved), which is
+        why the merge lives in param storage, not the forward."""
+        if not self.token_fields:
             return (self.embed_input(params, batch),
                     self.first_order(params, batch))
-
-        ids = self._token_ids(batch)                           # (B, F)
-        B, F = ids.shape
-        from ...ops.embed_grad import grouped_take_rows
-        cat = jnp.concatenate(
-            [params["token_embedding"], params["token_bias"][:, None]],
-            axis=1)                                            # (V, D+1)
-        rows = grouped_take_rows(self._field_spec, cat, ids)   # (B, F, D+1)
+        rows = self._token_rows(params, batch)                 # (B, F, D+1)
         token_emb = rows[..., :-1]
         linear = jnp.sum(rows[..., -1], axis=1) + params["first_order_bias"]
 
@@ -286,8 +283,7 @@ class ContextRecommender(AbstractRecommender):
         """(B,) linear term (parity: FMFirstOrderLinear, layers.py:905)."""
         total = jnp.zeros(self.batch_len(batch)) + params["first_order_bias"]
         if self.token_fields:
-            ids = self._token_ids(batch)                       # (B, F)
-            bias = self._lookup(params["token_bias"][:, None], ids)[..., 0]
+            bias = self._token_rows(params, batch)[..., -1]    # (B, F)
             total = total + jnp.sum(bias, axis=1)
         for j, (field, fetch) in enumerate(self.float_fields):
             total = total + params["float_weight"][j] * \

@@ -120,10 +120,14 @@ class XDeepFM(ContextRecommender):
         # the MLP weights, the first-order linear tables (our merged
         # token/float/seq bias tables stand in for its FMFirstOrderLinear
         # embeddings), and the CIN conv kernels
+        fo_tables = [params[k] for k in ("float_weight", "seq_bias")
+                     if k in params]
+        if "token_embedding" in params:
+            # merged storage: the token first-order bias is column D of the
+            # embedding table (context_base.init_context_params)
+            fo_tables.append(params["token_embedding"][:, -1])
         reg = (reg_loss([l["w"] for l in params["mlp"]])
-               + sum(fro_norm(params[k])
-                     for k in ("token_bias", "float_weight", "seq_bias")
-                     if k in params)
+               + sum(fro_norm(t) for t in fo_tables)
                + reg_loss([lyr["w"] for lyr in self._cin_weights(params)]))
         return loss + self.reg_weight * reg
 

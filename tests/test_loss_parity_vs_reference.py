@@ -604,12 +604,14 @@ CTR_EXTRA = {"eval_setting": "TO_RS", "threshold": {"rating": 3},
 
 def _ctr_base_upd(params):
     return {
-        "token_embedding_table.embedding.weight": params["token_embedding"],
+        # merged storage: cols 0..D-1 = embedding, col D = first-order bias
+        "token_embedding_table.embedding.weight":
+            params["token_embedding"][:, :-1],
         "float_embedding_table.weight": params["float_embedding"],
         "first_order_linear.bias":
             np.asarray(params["first_order_bias"])[None],
         "first_order_linear.token_embedding_table.embedding.weight":
-            np.asarray(params["token_bias"])[:, None],
+            np.asarray(params["token_embedding"][:, -1])[:, None],
         "first_order_linear.float_embedding_table.weight":
             np.asarray(params["float_weight"])[:, None],
     }
