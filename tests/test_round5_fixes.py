@@ -118,3 +118,43 @@ def test_trm_layer2_matches_xla(causal):
         # make pure relative error meaningless
         denom = max(float(jnp.max(jnp.abs(a))), 1e-2 * gscale)
         assert float(jnp.max(jnp.abs(a - b))) / denom < 3e-2
+
+
+def test_fused_adam_matches_optax(synth_dataset_dir, tmp_path):
+    """The inlined single-pass adam (trainer._fused_adam_apply) must produce
+    the same trajectory as the optax chain it replaces."""
+    from recbole_tpu.config.configurator import Config
+    from recbole_tpu.data.dataset import Dataset
+    from recbole_tpu.data.utils import data_preparation
+    from recbole_tpu.models import get_model
+    from recbole_tpu.trainer.trainer import get_trainer
+    from recbole_tpu.utils.utils import init_seed
+
+    results = {}
+    for mode in ("fused", "optax"):
+        if mode == "optax":
+            os.environ["RECBOLE_TPU_NO_FUSED_ADAM"] = "1"
+        try:
+            config = Config("BPR", "synth", config_dict={
+                "data_path": synth_dataset_dir, "state": "ERROR",
+                "epochs": 2, "train_batch_size": 256, "scan_epochs": False,
+                "checkpoint_dir": str(tmp_path / f"saved_{mode}"),
+                "log_dir": str(tmp_path / f"log_{mode}"),
+            }, _parse_cmd_line=False)
+            init_seed(config["seed"])
+            ds = Dataset(config)
+            train_data, _, _ = data_preparation(config, ds)
+            trainer = get_trainer(config["MODEL_TYPE"], "BPR")(config,
+                get_model("BPR")(config, train_data.dataset))
+            trainer.prepare(train_data)
+            assert trainer._fused_adam == (mode == "fused")
+            for ep in range(2):
+                trainer._train_epoch(train_data, ep)
+            results[mode] = jax.tree.map(np.asarray, trainer.params)
+        finally:
+            os.environ.pop("RECBOLE_TPU_NO_FUSED_ADAM", None)
+
+    flat_f, _ = jax.tree_util.tree_flatten(results["fused"])
+    flat_o, _ = jax.tree_util.tree_flatten(results["optax"])
+    for a, b in zip(flat_f, flat_o):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
