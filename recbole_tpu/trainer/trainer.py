@@ -322,7 +322,16 @@ class Trainer:
         c1 = 1.0 / (1.0 - b1 ** t)
         c2 = 1.0 / (1.0 - b2 ** t)
 
+        from ..ops.fused_adam import adam_kernel_supported, adam_leaf_kernel
+
         def leaf(p, m, v, g):
+            if adam_kernel_supported(p):
+                # big 2D tables: ONE Pallas read-modify-write sweep with
+                # in-place aliasing — the XLA expression below still
+                # compiles to 3 passes (divide_subtract_fusion x3,
+                # round-5 trace), each re-reading the operands
+                return adam_leaf_kernel(p, m, v, g, c1, c2,
+                                        b1=b1, b2=b2, lr=lr, eps=eps)
             m2 = b1 * m + (1.0 - b1) * g
             v2 = b2 * v + (1.0 - b2) * g * g
             p2 = p - lr * (m2 * c1) / (jnp.sqrt(v2 * c2) + eps)
