@@ -1146,7 +1146,13 @@ class Trainer:
             else:
                 dcols = {f: jnp.asarray(v) for f, v in cols.items()}
 
-            @jax.jit
+            # under a mesh the (n,) prediction vector must come back
+            # REPLICATED: with >1 process a data-sharded global array is
+            # not host-fetchable (caught by the 2-process framework test)
+            out_s = (self.plan.replicated() if self.plan is not None
+                     else None)
+
+            @partial(jax.jit, out_shardings=out_s)
             def predict_all(params, dcols):
                 def body(_, i):
                     batch = {f: jax.lax.dynamic_slice_in_dim(v, i * B, B)

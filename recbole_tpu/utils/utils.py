@@ -30,11 +30,19 @@ def init_jax(config) -> None:
             }
         # else: TPU-pod auto-detection (jax reads the topology from the
         # TPU runtime; no keys needed)
-        try:
-            jax.distributed.initialize(**kwargs)
-        except RuntimeError as e:  # already initialized (repeat runs in-proc)
-            if "already initialized" not in str(e).lower():
-                raise
+        already = False
+        try:  # idempotence: repeat runs in one process (e.g. run_hyper)
+            from jax._src.distributed import global_state
+            already = global_state.client is not None
+        except Exception:  # pragma: no cover — jax internals moved
+            pass
+        if not already:
+            try:
+                jax.distributed.initialize(**kwargs)
+            except RuntimeError as e:
+                if "called once" not in str(e) \
+                        and "already initialized" not in str(e).lower():
+                    raise
     cache_dir = config["compilation_cache_dir"]
     if cache_dir:
         import jax
