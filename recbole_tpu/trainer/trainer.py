@@ -549,13 +549,18 @@ class Trainer:
             raise ValueError(f"Training loss is nan at epoch {epoch_idx}")
         return tuple(total.tolist()) if len(total) > 1 else float(total[0])
 
-    def cost_analysis(self, train_data, mode="rs"):
+    def cost_analysis(self, train_data, mode=None):
         """XLA cost analysis of the compiled training program: per-step
         flops and bytes-accessed estimates, for the MFU / HBM-utilization
         columns in scripts/bench_models.py. Returns None when the backend
-        doesn't expose cost analysis. ``bytes`` is XLA's per-op sum, which
-        over-counts VMEM-resident reuse — treat as an upper bound."""
-        bundle = self._build_mode(train_data, mode)
+        doesn't expose cost analysis (the reason is logged — round-4's
+        blanket swallow left CKE/CFKG printing nan with no trail).
+        ``bytes`` is XLA's per-op sum, which over-counts VMEM-resident
+        reuse — treat as an upper bound. ``mode`` defaults to the
+        trainer's own default_train_mode so alternating-mode trainers
+        (KG/MKR: default "rskg") analyze the program they actually run."""
+        bundle = self._build_mode(train_data,
+                                  mode or self.default_train_mode)
         try:
             # Always analyze the FLAT per-step program: XLA's cost analysis
             # does not descend into lax.scan bodies, so the scan-epoch
@@ -576,7 +581,10 @@ class Trainer:
             return {"flops_per_step": float(ca.get("flops", 0.0)),
                     "bytes_per_step": float(ca.get("bytes accessed", 0.0)),
                     "steps_per_epoch": steps}
-        except Exception:  # noqa: BLE001 — diagnostics only, never fatal
+        except Exception as e:  # noqa: BLE001 — diagnostics only, never fatal
+            self.logger.warning("cost_analysis unavailable for %s/%s: %s",
+                                type(self).__name__,
+                                mode or self.default_train_mode, e)
             return None
 
     def _mask_const_subtree(self):
@@ -1278,6 +1286,17 @@ class KGTrainer(Trainer):
         super().__init__(config, model)
         self.train_rec_step = config["train_rec_step"]
         self.train_kg_step = config["train_kg_step"]
+
+    @property
+    def default_train_mode(self):
+        # with the step counts unset every epoch runs rskg — cost_analysis
+        # and prepare must build THAT program, not the plain-rs one
+        # (round-5: CKE/CFKG printed nan MFU because the rs-mode bundle's
+        # loader has no kg columns — KeyError 'head_id', silently
+        # swallowed before the warning below existed)
+        if self.train_rec_step is None or self.train_kg_step is None:
+            return "rskg"
+        return "rs"
 
     def _train_epoch(self, train_data, epoch_idx, mode=None):
         if self.train_rec_step is None or self.train_kg_step is None:

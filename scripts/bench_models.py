@@ -181,8 +181,12 @@ def main():
     models = sys.argv[1:] or list(REFERENCE)
     root = synth_ml1m_dir()
     print(f"{'model':<12} {'train s/ep':>10} {'ref':>7} {'x':>6}"
-          f" {'MFU%':>6} {'BW%':>6}"
+          f" {'MFU%':>6} {'BW%*':>6}"
           f" {'eval s/ep':>10} {'ref':>7} {'x':>7}")
+    print("  * BW% = XLA per-op byte sum / (wall x peak HBM BW): an UPPER"
+          " BOUND that re-counts VMEM-resident reuse per consuming op, so"
+          " >100% means fusion-reuse-dominated, not memory-bound. MFU uses"
+          " XLA's flop count (exact up to fusion choices).")
     for model in models:
         try:
             tr, ev, mfu, bw = bench_model(model, root)
