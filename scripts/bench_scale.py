@@ -22,6 +22,11 @@ REFERENCE = {
         "Pop": (3.02, 103.41), "BPR": (6.31, 120.03), "NeuMF": (17.38, 2069.53),
         "NGCF": (908.98, 474.57), "LightGCN": (67.91, 116.16),
         "DMF": (20.84, 1361.71), "GCMC": (None, 299.36),
+        # sequential rows: Sequential_recommendation.md:158-176
+        "GRU4Rec": (44.31, 2.74), "SASRec": (75.51, 3.11),
+        "NARM": (45.65, 2.76), "BERT4Rec": (193.74, 8.43),
+        "STAMP": (42.08, 2.72), "FPMC": (21.05, 3.05),
+        "Caser": (147.15, 2.89),
     },
     "netflix": {
         "Pop": (2.13, 44.31), "BPR": (4.42, 52.81), "NeuMF": (11.33, 238.92),
@@ -42,7 +47,8 @@ def synth_dataset(config, shape, seed=42):
     """Post-remap columnar Dataset at the target shape (same trick as
     bench.py — throughput depends on shapes, not values)."""
     from recbole_tpu.data.dataset import Dataset
-    from recbole_tpu.utils.enums import FeatureType, FeatureSource
+    from recbole_tpu.data.seq_dataset import SequentialDataset
+    from recbole_tpu.utils.enums import FeatureType, FeatureSource, ModelType
 
     n_users, n_items, n = (shape["n_users"], shape["n_items"],
                            shape["n_inter"])
@@ -52,7 +58,9 @@ def synth_dataset(config, shape, seed=42):
     iids = (1 + np.floor((n_items - 1) * r ** 2.2)).astype(np.int32)
     ts = np.arange(n, dtype=np.float32)
 
-    ds = Dataset(config, _build=False)
+    cls = (SequentialDataset
+           if config["MODEL_TYPE"] is ModelType.SEQUENTIAL else Dataset)
+    ds = cls(config, _build=False)
     ds.inter_feat = {"user_id": uids, "item_id": iids, "timestamp": ts}
     ds.field2type = {"user_id": FeatureType.TOKEN,
                      "item_id": FeatureType.TOKEN,
@@ -82,10 +90,11 @@ def bench_model(model, dataset_name, epochs=2):
         "epochs": epochs, "valid_full_to_uni1000": False,
     }, _parse_cmd_line=False)
     init_jax(cfg)
-    if dataset_name not in _DS_CACHE:
+    cache_key = (dataset_name, str(cfg["MODEL_TYPE"]))
+    if cache_key not in _DS_CACHE:
         ds = synth_dataset(cfg, SHAPES[dataset_name])
-        _DS_CACHE[dataset_name] = data_preparation(cfg, ds)
-    train, valid, test = _DS_CACHE[dataset_name]
+        _DS_CACHE[cache_key] = data_preparation(cfg, ds)
+    train, valid, test = _DS_CACHE[cache_key]
     m = get_model(model)(cfg, train.dataset)
     trainer = get_trainer(cfg["MODEL_TYPE"], model)(cfg, m)
     trainer.prepare(train)
