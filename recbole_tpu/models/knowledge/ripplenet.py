@@ -150,6 +150,18 @@ class RippleNet(KnowledgeRecommender):
         routing. For large vocabularies fall back to the one-hot matmul."""
         D = self.embedding_size
         R = params["relation_embedding"]
+        from ...ops.rel_apply import rel_apply, rel_apply_supported
+        if rel_apply_supported(self.n_relations, D):
+            # round-5 Pallas kernel: the XLA loop below runs NR full
+            # matmul+accumulate passes over the (N, D) rows, each at HBM
+            # bandwidth (convolution_add_fusion x51 = 4.4 ms/step traced at
+            # ml-1m shape); the kernel keeps the accumulator in VMEM and
+            # does one stacked (rows, D) @ (D, NR*D) matmul per row block
+            # (measured 10.3 vs 17.1 ms on the isolated fwd+bwd chain)
+            B, M = rels.shape
+            flat = rel_apply(vecs.reshape(B * M, D),
+                             rels.reshape(B * M), R)
+            return flat.reshape(B, M, D)
         if self.n_relations > 128:
             onehot = jax.nn.one_hot(rels.reshape(-1), self.n_relations,
                                     dtype=jnp.float32)

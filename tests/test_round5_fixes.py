@@ -158,3 +158,36 @@ def test_fused_adam_matches_optax(synth_dataset_dir, tmp_path):
     flat_o, _ = jax.tree_util.tree_flatten(results["optax"])
     for a, b in zip(flat_f, flat_o):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="rel_apply kernel is TPU-only")
+def test_rel_apply_matches_xla_loop():
+    """ops/rel_apply vs the relation-vocabulary XLA loop (values + grads)."""
+    N, D, NR = 2048, 64, 13
+    k = jax.random.split(jax.random.key(0, impl="rbg"), 3)
+    v = jax.random.normal(k[0], (N, D))
+    rel = jax.random.randint(k[1], (N,), 0, NR, jnp.int32)
+    R = jax.random.normal(k[2], (NR, D, D)) * 0.1
+    from recbole_tpu.ops.rel_apply import rel_apply
+
+    def xla_loop(v, rel, R):
+        out = jnp.zeros_like(v)
+        for r in range(NR):
+            mask = (rel == r).astype(v.dtype)[:, None]
+            out = out + jnp.einsum("nj,ij->ni", v * mask, R[r],
+                                   preferred_element_type=jnp.float32)
+        return out
+
+    y_ref = jax.jit(xla_loop)(v, rel, R)
+    y_ker = jax.jit(rel_apply)(v, rel, R)
+    scale = float(jnp.max(jnp.abs(y_ref)))
+    assert float(jnp.max(jnp.abs(y_ref - y_ker))) < 2e-2 * scale
+
+    gx = jax.grad(lambda v, R: jnp.sum(jnp.tanh(xla_loop(v, rel, R))),
+                  argnums=(0, 1))(v, R)
+    gk = jax.grad(lambda v, R: jnp.sum(jnp.tanh(rel_apply(v, rel, R))),
+                  argnums=(0, 1))(v, R)
+    for a, b in zip(gx, gk):
+        s = float(jnp.max(jnp.abs(a))) + 1e-9
+        assert float(jnp.max(jnp.abs(a - b))) < 2e-2 * s
