@@ -749,6 +749,59 @@ class Trainer:
 
     # ------------------------------------------------------------- checkpoint
 
+    def _save_leaf(self, leaf):
+        """Host-side form of one checkpoint leaf. Row-sharded tables under
+        a mesh are saved as their DISTINCT device shards (round-5 VERDICT
+        task 10): ``np.asarray`` on e.g. Criteo's (2.57M, 11) token table
+        would gather the full array to one host buffer on every validation
+        improvement; the per-shard form moves each row range once and
+        restores straight onto the mesh."""
+        if not isinstance(leaf, jax.Array):
+            return np.asarray(leaf) if isinstance(leaf, jnp.ndarray) else leaf
+        if (self.plan is None or leaf.sharding.is_fully_replicated
+                or leaf.ndim == 0):
+            return np.asarray(leaf)
+        shards = {}
+        for sh in leaf.addressable_shards:
+            r = sh.index[0]
+            key = (r.start or 0,
+                   r.stop if r.stop is not None else leaf.shape[0])
+            if key not in shards:
+                shards[key] = np.asarray(sh.data)
+        return {"__sharded_rows__": sorted(
+                    (s, e, arr) for (s, e), arr in shards.items()),
+                "shape": tuple(leaf.shape), "dtype": str(leaf.dtype)}
+
+    def _load_leaf(self, leaf, sharding=None):
+        """Inverse of _save_leaf: sharded-rows records go back onto the
+        mesh via make_array_from_callback (each device reads only its row
+        range); plain arrays upload as-is."""
+        if not isinstance(leaf, dict) or "__sharded_rows__" not in leaf:
+            return jnp.asarray(leaf) if isinstance(leaf, np.ndarray) else leaf
+        rows = leaf["__sharded_rows__"]
+        if sharding is not None:
+            by_start = {s: arr for s, e, arr in rows}
+
+            def cb(idx):
+                r = idx[0]
+                start = r.start or 0
+                arr = by_start.get(start)
+                if arr is not None and start + arr.shape[0] == (
+                        r.stop if r.stop is not None else leaf["shape"][0]):
+                    return arr[(slice(None),) + tuple(idx[1:])]
+                full = self._assemble_rows(leaf)
+                return full[idx]
+            return jax.make_array_from_callback(
+                tuple(leaf["shape"]), sharding, cb)
+        return jnp.asarray(self._assemble_rows(leaf))
+
+    @staticmethod
+    def _assemble_rows(rec):
+        full = np.zeros(rec["shape"], dtype=np.dtype(rec["dtype"]))
+        for s, e, arr in rec["__sharded_rows__"]:
+            full[s:e] = arr
+        return full
+
     def _save_checkpoint(self, epoch):
         # checkpoints carry only LEARNED state: the dataset-derived
         # params["_const"] subtree (graph structures, packed-bit images —
@@ -765,10 +818,8 @@ class Trainer:
             "train_loss_dict": dict(self.train_loss_dict),
             "best_valid_score": self.best_valid_score,
             "best_valid_result": self.best_valid_result,
-            "params": jax.tree.map(np.asarray, save_params),
-            "opt_state": jax.tree.map(
-                lambda x: np.asarray(x) if isinstance(x, jnp.ndarray) else x,
-                self.opt_state),
+            "params": jax.tree.map(self._save_leaf, save_params),
+            "opt_state": jax.tree.map(self._save_leaf, self.opt_state),
             "rng": np.asarray(jax.random.key_data(self.rng)),
         }
         with open(self.saved_model_file, "wb") as fh:
@@ -788,10 +839,8 @@ class Trainer:
         # than None (run-to-run RNG decides which — was a flaky gap)
         self.best_valid_result = state.get("best_valid_result")
         self.params = self._reattach_consts(
-            jax.tree.map(jnp.asarray, state["params"]))
-        self.opt_state = jax.tree.map(
-            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
-            state["opt_state"])
+            self._restore_tree(state["params"]))
+        self.opt_state = self._restore_tree(state["opt_state"])
         self.rng = jax.random.wrap_key_data(
             jnp.asarray(state["rng"]),
             impl=self.config["prng_impl"] or "rbg")
@@ -801,11 +850,37 @@ class Trainer:
         self.logger.info("Checkpoint loaded. Resume training from epoch %d",
                          self.start_epoch)
 
+    def _restore_tree(self, tree):
+        """Rebuild a checkpointed pytree: sharded-rows records land back
+        on the mesh (per-device row reads); plain arrays upload whole."""
+        is_rec = lambda x: isinstance(x, dict) and "__sharded_rows__" in x
+
+        def restore(path, leaf):
+            if not is_rec(leaf):
+                return self._load_leaf(leaf)
+            sharding = None
+            if self.plan is not None:
+                name = "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+                shim = type("L", (), {"ndim": len(leaf["shape"]),
+                                      "shape": tuple(leaf["shape"])})()
+                if self.plan.shards_table(name, shim):
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    sharding = NamedSharding(self.plan.mesh,
+                                             PartitionSpec("model", None))
+                else:
+                    sharding = self.plan.replicated()
+            return self._load_leaf(leaf, sharding)
+
+        return jax.tree_util.tree_map_with_path(restore, tree,
+                                                is_leaf=is_rec)
+
     def load_params(self, model_file):
         with open(model_file, "rb") as fh:
             state = pickle.load(fh)
         self.params = self._reattach_consts(
-            jax.tree.map(jnp.asarray, state["params"]))
+            self._restore_tree(state["params"]))
 
     def _reattach_consts(self, params):
         """Rebuild the params["_const"] subtree that _save_checkpoint strips

@@ -379,3 +379,75 @@ print("RESULT " + json.dumps({
             for pid in (0, 1):
                 assert abs(results[pid][task][k] - v) < 2e-3, \
                     (task, k, v, results[pid][task][k])
+
+
+def test_mesh_sharded_checkpoint_roundtrip():
+    """Round-5 VERDICT task 10: under a mesh, row-sharded tables checkpoint
+    as per-shard row ranges (no full-table host gather) and restore back
+    onto the mesh with identical eval metrics."""
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+import glob, os, pickle, tempfile
+import numpy as np
+from recbole_tpu.config.configurator import Config
+from recbole_tpu.data.utils import data_preparation, create_dataset
+from recbole_tpu.models import get_model
+from recbole_tpu.trainer.trainer import get_trainer
+from recbole_tpu.utils.utils import init_seed
+root = tempfile.mkdtemp()
+d = os.path.join(root, "ctr", "ctr"); os.makedirs(d)
+rng = np.random.RandomState(0)
+with open(os.path.join(d, "ctr.inter"), "w") as fh:
+    fh.write("label:float\\tI1:float\\tC1:token\\tC2:token\\n")
+    for _ in range(800):
+        c1, c2 = rng.randint(0, 30), rng.randint(0, 70)
+        x1 = rng.random_sample()
+        fh.write(f"{int((c1 % 2) * 0.5 + x1 > 0.8)}\\t{x1:.4f}\\t{c1}\\t{c2}\\n")
+cfgd = {
+    "model": "DeepFM", "dataset": "ctr", "data_path": os.path.join(root, "ctr"),
+    "checkpoint_dir": os.path.join(root, "s"), "log_dir": os.path.join(root, "l"),
+    "USER_ID_FIELD": None, "ITEM_ID_FIELD": None, "LABEL_FIELD": "label",
+    "TIME_FIELD": None, "load_col": {"inter": "*"},
+    "epochs": 1, "train_batch_size": 128, "state": "ERROR", "seed": 5,
+    "valid_full_to_uni1000": False,
+    "mesh_shape": {"data": 2, "model": 4}, "shard_item_embeddings": True}
+cfg = Config("DeepFM", "ctr", config_dict=cfgd, _parse_cmd_line=False)
+init_seed(cfg["seed"])
+ds = create_dataset(cfg)
+train, valid, test = data_preparation(cfg, ds)
+m = get_model("DeepFM")(cfg, train.dataset)
+tr = get_trainer(cfg["MODEL_TYPE"], "DeepFM")(cfg, m)
+tr.fit(train, valid, saved=True, verbose=False)
+r1 = tr.evaluate(test, load_best_model=False)
+
+# the pickle must hold per-shard records for the sharded table, not a
+# gathered full array
+state = pickle.load(open(tr.saved_model_file, "rb"))
+rec = state["params"]["token_embedding"]
+assert isinstance(rec, dict) and "__sharded_rows__" in rec, type(rec)
+assert len(rec["__sharded_rows__"]) == 4, len(rec["__sharded_rows__"])
+mu_rec = state["opt_state"]["mu"]["token_embedding"]
+assert isinstance(mu_rec, dict) and "__sharded_rows__" in mu_rec
+
+# restore onto a fresh trainer + mesh: metrics must match exactly
+tr2 = get_trainer(cfg["MODEL_TYPE"], "DeepFM")(cfg, m)
+tr2.prepare(train)
+r2 = tr2.evaluate(test, load_best_model=True,
+                  model_file=tr.saved_model_file)
+for k in r1:
+    assert abs(r1[k] - r2[k]) < 1e-9, (k, r1[k], r2[k])
+# the restored table is actually sharded on the mesh
+shardings = {len(s.index) and (s.index[0].start or 0)
+             for s in tr2.params["token_embedding"].addressable_shards}
+assert len(shardings) == 4, shardings
+# resume path
+tr3 = get_trainer(cfg["MODEL_TYPE"], "DeepFM")(cfg, m)
+tr3.resume_checkpoint(tr.saved_model_file)
+tr3.prepare(train)
+assert tr3.start_epoch >= 1
+print("sharded checkpoint roundtrip ok", r2)
+"""
+    r = _run(code)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "sharded checkpoint roundtrip ok" in r.stdout
