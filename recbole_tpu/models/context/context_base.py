@@ -283,7 +283,20 @@ class ContextRecommender(AbstractRecommender):
         """(B,) linear term (parity: FMFirstOrderLinear, layers.py:905)."""
         total = jnp.zeros(self.batch_len(batch)) + params["first_order_bias"]
         if self.token_fields:
-            bias = self._token_rows(params, batch)[..., -1]    # (B, F)
+            # standalone first_order (LR and friends): gather from the
+            # SLICED bias column, not full (D+1)-wide rows — the column
+            # slice materializes once per step (~V*4 bytes) while full-row
+            # gathers cost 11x the bytes (measured: LR@Criteo 3.3 -> 5.3
+            # s/ep when this path gathered whole rows). Models needing both
+            # terms use embed_and_first_order's single full-row gather.
+            from ...parallel.mesh import active_plan
+            plan = active_plan()
+            if plan is not None and plan.shards_table(
+                    "token_embedding", params["token_embedding"]):
+                bias = self._token_rows(params, batch)[..., -1]
+            else:
+                col = params["token_embedding"][:, -1:]        # (V, 1)
+                bias = self._lookup(col, self._token_ids(batch))[..., 0]
             total = total + jnp.sum(bias, axis=1)
         for j, (field, fetch) in enumerate(self.float_fields):
             total = total + params["float_weight"][j] * \
