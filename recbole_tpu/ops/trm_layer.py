@@ -32,6 +32,14 @@ compute_dtype=bfloat16 modulo dropout RNG streams and summation order.
 MEASURED (v5e, SASRec ml-1m shape B=2048 L=50 D=64 H=2 I=256, bf16 XLA
 baseline incl. its dropout-layout copies): see PARITY.md round-5 section —
 this kernel replaces the measured 40%-layout-copy share of the step.
+
+A residual-saving backward (fwd also writes pre-dropout probs bf16 +
+ctx; bwd skips the score matmuls/softmaxes/mask/ctx rebuild) was built
+and measured NET-NEUTRAL — chained A/B at the production shape: 4.597
+(save) vs 4.584 ms (full recompute) per layer grad+dropout. The
+quadratic recompute rides entirely in the shadow of whatever binds the
+kernel (the saved-residual HBM round-trip offsets the compute saved), so
+the simpler recompute-only design stays.
 """
 
 import functools
